@@ -1,0 +1,215 @@
+"""`dlco` command-line interface — the orchestration layer.
+
+Replaces the reference's 11 bash scripts (workspace/01-export.sh ..
+11-opencv-export.sh) with subcommands over a Workspace directory. Each
+stage is idempotent (resume-safe) exactly like the reference's
+log/file-existence contract, but driven from typed configs instead of
+grep/sed/awk.
+
+Usage examples:
+    dlco convert  -w ws --dataset liberty --patch-dir /data/liberty
+    dlco genpr    -w ws
+    dlco compdist -w ws --dataset liberty
+    dlco prlearn  -w ws --dataset liberty --mu 0.025 --gamma 0.1
+    dlco prsweep  -w ws --dataset liberty          # full 16x16 grid, vmapped
+    dlco prstats  -w ws --datasets liberty,notredame
+    dlco compunproj -w ws --dataset liberty --pr ws/pr-learn/...-pr.h5#7
+    dlco pjlearn  -w ws --unproj ws/distances/...-unproj.h5 --mu 0.001 --gamma 0.5
+    dlco export   -w ws --pr ...-pr.h5#7 --pj ...-pj.h5 --out vgg_generated_64.i
+    dlco bench    --suite all
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ws(args):
+    from .pipeline.stages import Workspace
+    from .utils.configs import PoolRegionConfig
+
+    pool = PoolRegionConfig()
+    if args.small_bank:
+        pool = PoolRegionConfig(nr=6, nphi=2, nsigma=3)
+    return Workspace(args.workspace, pool_cfg=pool,
+                     pair_block=args.pair_block)
+
+
+def cmd_convert(args):
+    ws = _ws(args)
+    out = ws.convert(args.patch_dir, args.dataset, max_pairs=args.max_pairs)
+    print(f"dataset ready: {out}")
+
+
+def cmd_genpr(args):
+    print(f"filter bank ready: {_ws(args).genpr()}")
+
+
+def cmd_compdist(args):
+    print(f"distances ready: {_ws(args).compdist(args.dataset)}")
+
+
+def cmd_prlearn(args):
+    from .utils.configs import PRLearnConfig
+
+    cfg = PRLearnConfig(mu=args.mu, gamma=args.gamma, n_iter=args.iters,
+                        log_step=args.log_step, batch=args.batch,
+                        max_dim=args.max_dim)
+    print(f"pr model: {_ws(args).prlearn(args.dataset, cfg)}")
+
+
+def cmd_prsweep(args):
+    from .parallel.sweep import run_pr_sweep
+    from .utils.configs import PRLearnConfig, PRSweepGrid
+
+    ws = _ws(args)
+    base = PRLearnConfig(n_iter=args.iters, log_step=args.log_step,
+                         batch=args.batch, max_dim=args.max_dim)
+    results = run_pr_sweep(ws, args.dataset, PRSweepGrid(), base)
+    print(json.dumps(results[:10], indent=2))
+
+
+def cmd_prstats(args):
+    ws = _ws(args)
+    models = sorted(glob.glob(os.path.join(args.workspace, "pr-learn", "*-pr.h5")))
+    dists = {ds: ws.path("distances", f"{ds}-dist.h5")
+             for ds in args.datasets.split(",")}
+    recs = ws.prstats(models, dists,
+                      jsonl_path=ws.path("pr-select.jsonl"))
+    from .pipeline.stages import Workspace as W
+
+    for r in W.pr_rank(recs):
+        print(json.dumps(r))
+
+
+def cmd_compunproj(args):
+    print(f"unproj ready: {_ws(args).compunproj(args.dataset, args.pr)}")
+
+
+def cmd_pjlearn(args):
+    from .utils.configs import PJLearnConfig
+
+    cfg = PJLearnConfig(mu=args.mu, gamma=args.gamma, n_iter=args.iters,
+                        log_step=args.log_step, batch=args.batch,
+                        eigh_mode=args.eigh_mode)
+    print(f"pj model: {_ws(args).pjlearn(args.unproj, cfg)}")
+
+
+def cmd_pjstats(args):
+    from .pipeline.stages import Workspace as W
+
+    models = sorted(glob.glob(os.path.join(args.workspace, "pj-learn", "*-pj.h5")))
+    for r in W.pj_rank(models, max_dim=args.max_dim):
+        print(json.dumps(r))
+
+
+def cmd_export(args):
+    out = _ws(args).export(args.pr, args.pj, args.out)
+    print(f"exported: {out}")
+
+
+def cmd_bench(args):
+    from . import bench as bench_mod
+
+    bench_mod.run(suite=args.suite)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="dlco", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, workspace=True):
+        if workspace:
+            sp.add_argument("-w", "--workspace", required=True)
+        sp.add_argument("--pair-block", type=int, default=256)
+        sp.add_argument("--small-bank", action="store_true",
+                        help="6x2x3 ring grid for smoke tests")
+
+    sp = sub.add_parser("convert", help="Brown patch dir -> dataset h5")
+    common(sp)
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--patch-dir", required=True)
+    sp.add_argument("--max-pairs", type=int, default=None)
+    sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("genpr", help="generate pooling-region filter bank")
+    common(sp)
+    sp.set_defaults(fn=cmd_genpr)
+
+    sp = sub.add_parser("compdist", help="full ring-distance precompute")
+    common(sp)
+    sp.add_argument("--dataset", required=True)
+    sp.set_defaults(fn=cmd_compdist)
+
+    sp = sub.add_parser("prlearn", help="PR RDA learner (one run)")
+    common(sp)
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--mu", type=float, default=0.025)
+    sp.add_argument("--gamma", type=float, default=0.10)
+    sp.add_argument("--iters", type=int, default=50_000_000)
+    sp.add_argument("--log-step", type=int, default=100_000)
+    sp.add_argument("--batch", type=int, default=1024)
+    sp.add_argument("--max-dim", type=int, default=640)
+    sp.set_defaults(fn=cmd_prlearn)
+
+    sp = sub.add_parser("prsweep", help="vmapped PR hyperparameter grid")
+    common(sp)
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--iters", type=int, default=50_000_000)
+    sp.add_argument("--log-step", type=int, default=100_000)
+    sp.add_argument("--batch", type=int, default=1024)
+    sp.add_argument("--max-dim", type=int, default=640)
+    sp.set_defaults(fn=cmd_prsweep)
+
+    sp = sub.add_parser("prstats", help="cross-dataset PR model selection")
+    common(sp)
+    sp.add_argument("--datasets", required=True,
+                    help="comma-separated dataset names")
+    sp.set_defaults(fn=cmd_prstats)
+
+    sp = sub.add_parser("compunproj", help="unprojected diff vectors")
+    common(sp)
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--pr", required=True, help="pr model ref file.h5#row")
+    sp.set_defaults(fn=cmd_compunproj)
+
+    sp = sub.add_parser("pjlearn", help="PJ RDA learner (one run)")
+    common(sp)
+    sp.add_argument("--unproj", required=True)
+    sp.add_argument("--mu", type=float, default=0.001)
+    sp.add_argument("--gamma", type=float, default=0.5)
+    sp.add_argument("--iters", type=int, default=50_000)
+    sp.add_argument("--log-step", type=int, default=100)
+    sp.add_argument("--batch", type=int, default=200)
+    sp.add_argument("--eigh-mode", default="exact",
+                    choices=["exact", "subspace"])
+    sp.set_defaults(fn=cmd_pjlearn)
+
+    sp = sub.add_parser("pjstats", help="PJ model ranking")
+    common(sp)
+    sp.add_argument("--max-dim", type=int, default=80)
+    sp.set_defaults(fn=cmd_pjstats)
+
+    sp = sub.add_parser("export", help="emit OpenCV VGG .i header")
+    common(sp)
+    sp.add_argument("--pr", required=True)
+    sp.add_argument("--pj", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("bench", help="run benchmark suite")
+    common(sp, workspace=False)
+    sp.add_argument("--suite", default="all")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,467 @@
+"""The 11-stage DLCO workflow as an idempotent, TPU-batched pipeline.
+
+Replaces the reference's bash orchestration layer (workspace/01-export.sh ..
+11-opencv-export.sh): every stage is a Python function over a Workspace
+directory with the same artifact layout, the same resume contract (a stage
+is skipped iff its output artifact is complete), structured JSONL metrics
+instead of grepped logs, and device-batched compute instead of per-pair
+OpenMP threads.
+
+Workspace layout (mirrors reference workspace/):
+    dataset/{ds}.h5                  Indices + Patches        (stage 1)
+    filters.h5                       Ring/PR params + filters (stage 2)
+    distances/{ds}-dist.h5           Label + Distance 500k x 5120 (stage 3)
+    pr-learn/{run}.h5 + logging/     w histories + metrics    (stage 4)
+    distances/{ds}-{pr}-unproj.h5    signed diff vectors      (stage 7)
+    pj-learn/{run}.h5 + logging/     W, A + metrics           (stage 8)
+    opencv/*.i                       exported headers         (stage 11)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.brown import convert_brown_patches, pair_labels
+from ..data.store import ArtifactStore, parse_model_ref
+from ..models.pr_rda import pr_init, pr_train_chunk, pr_validate
+from ..models.pj_rda import pj_init, pj_train_chunk, pj_validate
+from ..models.select import (
+    compute_pj_stats,
+    compute_pr_stats,
+    select_pr_filters,
+    selected_pr_geometry,
+)
+from ..ops.pair_distance import ring_distances, unprojected_diffs
+from ..ops.patch_transform import batch_patch_transform
+from ..ops.pool_regions import build_filter_bank
+from ..utils.configs import (
+    DescriptorConfig,
+    PJLearnConfig,
+    PoolRegionConfig,
+    PRLearnConfig,
+)
+from ..utils.logs import MetricLogger
+from ..utils.progress import TermProgress
+
+
+@dataclass
+class Workspace:
+    """A pipeline working directory with reference-compatible layout."""
+
+    root: str
+    desc_cfg: DescriptorConfig = DescriptorConfig()
+    pool_cfg: PoolRegionConfig = PoolRegionConfig()
+    pair_block: int = 256  # pairs per device batch in distance stages
+    progress: bool = True
+
+    def path(self, *parts: str) -> str:
+        p = os.path.join(self.root, *parts)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
+
+    def _bar(self) -> Optional[TermProgress]:
+        return TermProgress() if self.progress else None
+
+    # -- stage 1: dataset conversion -------------------------------------
+
+    def convert(self, patch_dir: str, ds: str,
+                max_pairs: Optional[int] = None) -> str:
+        """Brown patch dir -> dataset/{ds}.h5 (reference: 01-export.sh)."""
+        out = self.path("dataset", f"{ds}.h5")
+        convert_brown_patches(patch_dir, out, max_pairs=max_pairs,
+                              progress=self.progress)
+        return out
+
+    # -- stage 2: pooling-region bank -------------------------------------
+
+    def genpr(self) -> str:
+        """Generate the candidate filter bank (reference: 02-genpoolregs.sh)."""
+        out = self.path("filters.h5")
+        if os.path.exists(out):
+            with ArtifactStore(out, "r") as st:
+                if st.exists("PRFilters"):
+                    return out
+        rings, params, filters = build_filter_bank(self.pool_cfg)
+        p = self.pool_cfg.patch_size
+        with ArtifactStore(out, "w") as st:
+            st.write("RingParams", rings)
+            st.write("PRParams", params)
+            st.write("PRFilters",
+                     filters.reshape(-1, p, p), chunk_rows=128)
+            st.set_meta("pool_cfg", vars(self.pool_cfg))
+        return out
+
+    def load_filters(self) -> np.ndarray:
+        with ArtifactStore(self.genpr(), "r") as st:
+            f = st.read("PRFilters")
+        return f.reshape(f.shape[0], -1)
+
+    def load_pr_params(self) -> np.ndarray:
+        with ArtifactStore(self.genpr(), "r") as st:
+            return st.read("PRParams")
+
+    # -- stage 3: full ring-distance precompute ---------------------------
+
+    def compdist(self, ds: str) -> str:
+        """Per-pair 5120-D ring distances (reference: 03-compdist.sh,
+        src/comp-fulldists.cpp). Batched device pipeline; streams the
+        (n_pairs, n_rings) matrix to disk tile-by-tile."""
+        out = self.path("distances", f"{ds}-dist.h5")
+        n_rings = self.pool_cfg.n_rings
+        with ArtifactStore(self.path("dataset", f"{ds}.h5"), "r") as st:
+            indices = st.read("Indices")
+            patches = st.read("Patches")
+        n_pairs = indices.shape[0]
+        if os.path.exists(out):
+            with ArtifactStore(out, "r") as st:
+                if (st.exists("Distance")
+                        and st.shape("Distance") == (n_pairs, n_rings)
+                        and st.get_meta("complete", False)):
+                    return out
+
+        filters = jnp.asarray(self.load_filters())
+        labels = pair_labels(indices)
+        bar = self._bar()
+        blk = self.pair_block
+        with ArtifactStore(out, "w") as st:
+            st.write("Label", labels.reshape(-1, 1))
+            st.create("Distance", (n_pairs, n_rings), np.float32)
+            for s in range(0, n_pairs, blk):
+                e = min(s + blk, n_pairs)
+                p1 = jnp.asarray(patches[indices[s:e, 0]])
+                p2 = jnp.asarray(patches[indices[s:e, 2]])
+                pt1 = batch_patch_transform(p1, self.desc_cfg)
+                pt2 = batch_patch_transform(p2, self.desc_cfg)
+                d = np.asarray(ring_distances(filters, pt1, pt2))
+                if not np.all(np.isfinite(d)):
+                    raise FloatingPointError(
+                        f"Distance contains NaN/Inf in rows [{s}, {e})"
+                    )  # reference: src/comp-fulldists.cpp:362-366
+                st.write_rows("Distance", s, d)
+                if bar:
+                    bar.update(e / n_pairs)
+            if bar:
+                bar.done()
+            st.set_meta("complete", True)
+        return out
+
+    # -- shared loading for the learners ----------------------------------
+
+    def _load_split(self, dist_path: str, train_frac: float, seed: int):
+        """Load Label + Distance, split pos/neg, shuffle, 80/20
+        (reference: src/pr-learn.cpp:230-273)."""
+        with ArtifactStore(dist_path, "r") as st:
+            labels = st.read("Label").reshape(-1)
+            dists = st.read("Distance")
+        pos_idx = np.flatnonzero(labels == 1)
+        neg_idx = np.flatnonzero(labels == 0)
+        rng = np.random.default_rng(seed)
+        rng.shuffle(pos_idx)
+        rng.shuffle(neg_idx)
+        n_pos_trn = int(len(pos_idx) * train_frac)
+        n_neg_trn = int(len(neg_idx) * train_frac)
+        return dict(
+            dists=dists, labels=labels,
+            pos_trn=dists[pos_idx[:n_pos_trn]],
+            neg_trn=dists[neg_idx[:n_neg_trn]],
+            pos_val=dists[pos_idx[n_pos_trn:]],
+            neg_val=dists[neg_idx[n_neg_trn:]],
+        )
+
+    # -- stage 4: PR learning ---------------------------------------------
+
+    def prlearn(self, ds: str, cfg: PRLearnConfig,
+                dist_path: Optional[str] = None) -> str:
+        """One PR RDA run -> pr-learn/{ds}-{mu}-{gamma}-pr.h5 with the
+        improving-w history (reference: 04-prlearn.sh, src/pr-learn.cpp)."""
+        run = f"{ds}-{cfg.mu}-{cfg.gamma}-pr"
+        out = self.path("pr-learn", f"{run}.h5")
+        log_path = self.path("pr-learn", "logging", f"{run}.jsonl")
+        marker = f"{cfg.n_iter}"
+        if os.path.exists(out):
+            with ArtifactStore(out, "r") as st:
+                if st.get_meta("done_iters") == marker:
+                    return out
+            os.remove(out)  # partial run: restart (04-prlearn.sh:19-22)
+
+        data = self._load_split(dist_path or self.path("distances", f"{ds}-dist.h5"),
+                                cfg.train_frac, cfg.seed)
+        params = self.load_pr_params()
+        pos_trn = jnp.asarray(data["pos_trn"])
+        neg_trn = jnp.asarray(data["neg_trn"])
+        pos_val = jnp.asarray(data["pos_val"])
+        neg_val = jnp.asarray(data["neg_val"])
+        dists_full = jnp.asarray(data["dists"])
+        labels_full = jnp.asarray(data["labels"])
+
+        mu = jnp.asarray([cfg.mu], jnp.float32)
+        gamma = jnp.asarray([cfg.gamma], jnp.float32)
+        state = pr_init(pos_trn.shape[1], 1)
+        key = jax.random.PRNGKey(cfg.seed)
+
+        steps_per_log = max(1, cfg.log_step // cfg.batch)
+        n_logs = max(1, cfg.n_iter // (steps_per_log * cfg.batch))
+        obj_best = np.inf
+
+        with MetricLogger(jsonl_path=log_path) as log, \
+                ArtifactStore(out, "w") as st:
+            t_train0 = time.perf_counter()
+            for _ in range(n_logs):
+                key, sub = jax.random.split(key)
+                state = pr_train_chunk(pos_trn, neg_trn, mu, gamma, state,
+                                       sub, batch=cfg.batch,
+                                       n_steps=steps_per_log)
+                jax.block_until_ready(state.w)
+                t_train = time.perf_counter() - t_train0
+                t_val0 = time.perf_counter()
+                loss, regul, obj, nnz = pr_validate(pos_val, neg_val, mu, state)
+                obj0 = float(obj[0])
+                t_val = time.perf_counter() - t_val0
+                improved = obj0 < obj_best
+                if improved:
+                    obj_best = obj0
+                log.pr_step(best=improved, t=int(state.t),
+                            loss=float(loss[0]), regul=float(regul[0]),
+                            obj=obj0, obj_best=obj_best, nnz=int(nnz[0]),
+                            nnz_best=int(nnz[0]), ttime=t_train, vtime=t_val)
+                if improved:
+                    w_np = np.asarray(state.w[0])
+                    stats = compute_pr_stats(params, dists_full, labels_full,
+                                             w_np, max_dim=cfg.max_dim)
+                    saved = stats["dim"] <= cfg.max_dim
+                    if saved:
+                        st.append_row("w", w_np)
+                    log.pr_stat(n_pr=stats["n_pr"], nz_dim=stats["nz_dim"],
+                                dim=stats["dim"], max_dim=cfg.max_dim,
+                                auc=stats["auc"] or 0.0,
+                                fpr95=stats["fpr95"] if stats["fpr95"] is not None else -1.0,
+                                saved=saved)
+                t_train0 = time.perf_counter()
+            st.set_meta("done_iters", marker)
+            st.set_meta("config", vars(cfg))
+        return out
+
+    # -- stage 5/6: PR cross-dataset stats + ranking ----------------------
+
+    def prstats(self, model_paths: Sequence[str],
+                dist_paths: Dict[str, str],
+                jsonl_path: Optional[str] = None) -> List[dict]:
+        """Cross-evaluate every saved w of every model on every dataset
+        (reference: 05-prstats.sh, src/pr-stats.cpp:196-252)."""
+        params = self.load_pr_params()
+        records = []
+        with MetricLogger(jsonl_path=jsonl_path) as log:
+            for ds, dpath in dist_paths.items():
+                with ArtifactStore(dpath, "r") as st:
+                    labels = st.read("Label").reshape(-1)
+                    dists = st.read("Distance")
+                dists_j = jnp.asarray(dists)
+                labels_j = jnp.asarray(labels)
+                for mpath in model_paths:
+                    with ArtifactStore(mpath, "r") as st:
+                        hist = st.read("w")
+                    for row in range(hist.shape[0]):
+                        stats = compute_pr_stats(params, dists_j, labels_j,
+                                                 hist[row])
+                        rec = dict(model=mpath, row=row, dataset=ds, **stats)
+                        records.append(rec)
+                        log.model_stat(model=mpath, row=row, dataset=ds,
+                                       dim=stats["dim"],
+                                       fpr95=stats["fpr95"],
+                                       auc=stats["auc"])
+        return records
+
+    @staticmethod
+    def pr_rank(records: List[dict], top_k: int = 10) -> List[dict]:
+        """Rank models by mean FPR95 over datasets, requiring presence on
+        all datasets (reference: 06-pr-top.sh:20-46) — programmatic instead
+        of sed/awk, and no by-hand final pick."""
+        datasets = sorted({r["dataset"] for r in records})
+        by_model: Dict[Tuple[str, int], Dict[str, dict]] = {}
+        for r in records:
+            by_model.setdefault((r["model"], r["row"]), {})[r["dataset"]] = r
+        ranked = []
+        for (model, row), per_ds in by_model.items():
+            if set(per_ds) != set(datasets):
+                continue
+            fprs = [per_ds[d]["fpr95"] for d in datasets]
+            ranked.append(dict(
+                model=model, row=row,
+                mean_fpr95=float(np.mean(fprs)),
+                per_dataset={d: per_ds[d]["fpr95"] for d in datasets},
+                dim=per_ds[datasets[0]]["dim"],
+            ))
+        ranked.sort(key=lambda r: r["mean_fpr95"])
+        return ranked[:top_k]
+
+    # -- stage 7: unprojected difference vectors --------------------------
+
+    def compunproj(self, ds: str, pr_ref: str) -> str:
+        """Signed truncated-descriptor differences for the selected filters
+        (reference: 07-compunproj.sh, src/comp-uprjdists.cpp)."""
+        pr_path, row = parse_model_ref(pr_ref)
+        with ArtifactStore(pr_path, "r") as st:
+            hist = st.read("w")
+        row = row if row >= 0 else hist.shape[0] - 1
+        w = hist[row]
+        pr_label = os.path.basename(pr_path).replace(".h5", "")
+        out = self.path("distances", f"{ds}-{pr_label}#{row}-unproj.h5")
+        sel = select_pr_filters(self.load_filters(), w)
+        n_dim = sel.shape[0] * self.desc_cfg.n_angle_bins
+
+        with ArtifactStore(self.path("dataset", f"{ds}.h5"), "r") as st:
+            indices = st.read("Indices")
+            patches = st.read("Patches")
+        n_pairs = indices.shape[0]
+        if os.path.exists(out):
+            with ArtifactStore(out, "r") as st:
+                if (st.exists("Distance")
+                        and st.shape("Distance") == (n_pairs, n_dim)
+                        and st.get_meta("complete", False)):
+                    return out
+
+        sel_j = jnp.asarray(sel)
+        labels = pair_labels(indices)
+        bar = self._bar()
+        blk = self.pair_block
+        with ArtifactStore(out, "w") as st:
+            st.write("Label", labels.reshape(-1, 1))
+            st.create("Distance", (n_pairs, n_dim), np.float32)
+            for s in range(0, n_pairs, blk):
+                e = min(s + blk, n_pairs)
+                pt1 = batch_patch_transform(
+                    jnp.asarray(patches[indices[s:e, 0]]), self.desc_cfg)
+                pt2 = batch_patch_transform(
+                    jnp.asarray(patches[indices[s:e, 2]]), self.desc_cfg)
+                d = np.asarray(unprojected_diffs(sel_j, pt1, pt2))
+                if not np.all(np.isfinite(d)):
+                    raise FloatingPointError(
+                        f"unproj Distance NaN/Inf in rows [{s}, {e})"
+                    )  # reference: src/comp-uprjdists.cpp:341-345
+                st.write_rows("Distance", s, d)
+                if bar:
+                    bar.update(e / n_pairs)
+            if bar:
+                bar.done()
+            st.set_meta("pr_ref", f"{pr_path}#{row}")
+            st.set_meta("complete", True)
+        return out
+
+    # -- stage 8: PJ learning ---------------------------------------------
+
+    def pjlearn(self, unproj_path: str, cfg: PJLearnConfig,
+                run_label: Optional[str] = None) -> str:
+        """One PJ RDA run -> pj-learn/{label}-{mu}-{gamma}-pj.h5 holding the
+        best W, A (reference: 08-pjlearn.sh, src/pj-learn.cpp)."""
+        if run_label is None:
+            run_label = os.path.basename(unproj_path).replace("-unproj.h5", "")
+        run = f"{run_label}-{cfg.mu}-{cfg.gamma}-pj"
+        out = self.path("pj-learn", f"{run}.h5")
+        log_path = self.path("pj-learn", "logging", f"{run}.jsonl")
+        marker = f"{cfg.n_iter}"
+        if os.path.exists(out):
+            with ArtifactStore(out, "r") as st:
+                if st.get_meta("done_iters") == marker:
+                    return out
+            os.remove(out)
+
+        data = self._load_split(unproj_path, cfg.train_frac, cfg.seed)
+        pos_trn = jnp.asarray(data["pos_trn"])
+        neg_trn = jnp.asarray(data["neg_trn"])
+        pos_val = jnp.asarray(data["pos_val"])
+        neg_val = jnp.asarray(data["neg_val"])
+        dists_full = jnp.asarray(data["dists"])
+        labels_full = jnp.asarray(data["labels"])
+
+        state = pj_init(pos_trn.shape[1])
+        key = jax.random.PRNGKey(cfg.seed)
+        mu_j = jnp.float32(cfg.mu)
+
+        n_logs = max(1, cfg.n_iter // cfg.log_step)
+        obj_best, auc_best, fpr95_best = np.inf, 0.0, np.inf
+        w_save = a_save = None
+
+        with MetricLogger(jsonl_path=log_path) as log, \
+                ArtifactStore(out, "w") as st:
+            t_train0 = time.perf_counter()
+            for _ in range(n_logs):
+                key, sub = jax.random.split(key)
+                state = pj_train_chunk(pos_trn, neg_trn, cfg.mu, cfg.gamma,
+                                       state, sub, batch=cfg.batch,
+                                       n_steps=cfg.log_step,
+                                       eigh_mode=cfg.eigh_mode,
+                                       subspace_steps=cfg.subspace_steps)
+                jax.block_until_ready(state.w)
+                t_train = time.perf_counter() - t_train0
+                t_val0 = time.perf_counter()
+                loss, regul, obj, rank = pj_validate(pos_val, neg_val, mu_j,
+                                                     state)
+                obj0 = float(obj)
+                t_val = time.perf_counter() - t_val0
+                improved = obj0 < obj_best
+                if improved:
+                    obj_best = obj0
+                log.pj_step(best=improved, t=int(state.t), loss=float(loss),
+                            regul=float(regul), obj=obj0, obj_best=obj_best,
+                            rank=int(rank), rank_best=int(rank),
+                            ttime=t_train, vtime=t_val)
+                if improved:
+                    # full-dataset stats + dual best criterion
+                    # (reference: src/pj-learn.cpp:551-566)
+                    w_np = np.asarray(state.w)
+                    stats = compute_pj_stats(dists_full, labels_full, w_np)
+                    saved = (auc_best <= stats["auc"]
+                             and fpr95_best >= stats["fpr95"])
+                    if saved:
+                        auc_best = stats["auc"]
+                        fpr95_best = stats["fpr95"]
+                        w_save = w_np[np.any(w_np != 0.0, axis=1)]
+                        a_save = np.asarray(state.a)
+                    log.pj_stat(dim=stats["dim"], auc=stats["auc"],
+                                auc_best=auc_best, fpr95=stats["fpr95"],
+                                fpr95_best=fpr95_best, saved=saved)
+                t_train0 = time.perf_counter()
+            if w_save is None:
+                w_save = np.asarray(state.w)[
+                    np.any(np.asarray(state.w) != 0.0, axis=1)]
+                a_save = np.asarray(state.a)
+            st.write("W", w_save)
+            st.write("A", a_save)
+            st.set_meta("done_iters", marker)
+            st.set_meta("config", vars(cfg))
+            st.set_meta("best", {"auc": float(auc_best),
+                                 "fpr95": float(fpr95_best)})
+        return out
+
+    # -- stage 9/10: PJ model selection -----------------------------------
+
+    @staticmethod
+    def pj_rank(model_paths: Sequence[str], max_dim: int,
+                top_k: int = 10) -> List[dict]:
+        """Rank PJ runs by saved best FPR95 under a dim cap
+        (reference: 09-pjstats.sh / 10-pj-top.sh log scraping)."""
+        rows = []
+        for p in model_paths:
+            with ArtifactStore(p, "r") as st:
+                best = st.get_meta("best", {})
+                dim = st.shape("W")[0] if st.exists("W") else 0
+            if dim and dim <= max_dim and best:
+                rows.append(dict(model=p, dim=dim, **best))
+        rows.sort(key=lambda r: r["fpr95"])
+        return rows[:top_k]
+
+    # -- stage 11: export --------------------------------------------------
+
+    def export(self, pr_ref: str, pj_path: str, out_name: str) -> str:
+        from .export import export_opencv
+
+        return export_opencv(self.genpr(), pr_ref, pj_path,
+                             self.path("opencv", out_name))

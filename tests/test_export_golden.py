@@ -1,0 +1,108 @@
+"""Golden parity vs the reference's published artifacts.
+
+These tests tie the whole front half of the framework to the reference's
+*shipped outputs* (no code comparison involved):
+
+- byte-exact re-emission of the published vgg_generated_*.i headers
+  (validates the RLE sparse export format);
+- our generated pooling-region bank + selection, driven by the reference's
+  *learned* w vectors, must reproduce the PR filter matrices embedded in
+  the published headers (validates gen-poolregion + SelectPRFilters parity
+  end-to-end).
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference, REFERENCE
+
+from opencv_dlco_tpu.models.select import select_pr_filters, selected_pr_geometry
+from opencv_dlco_tpu.ops.pool_regions import build_filter_bank, pr_params
+from opencv_dlco_tpu.pipeline.export import emit_vgg_header, parse_vgg_header
+from opencv_dlco_tpu.utils.configs import PoolRegionConfig
+
+OPENCV_DIR = os.path.join(REFERENCE, "workspace", "opencv")
+
+GOLDENS = [
+    ("vgg_generated_48.i",
+     "pr-learn/olderbest/yosemite-0.025-0.075-pr.h5", 7,
+     "pj-learn/notredame-yosemite-0.025-0.075-pr#7-0.0020-0.200-pj.h5"),
+    ("vgg_generated_64.i",
+     "pr-learn/liberty-0.035-0.250-pr.h5", 7,
+     "pj-learn/notredame-liberty-0.035-0.250-pr#7-0.0010-0.100-pj.h5"),
+    ("vgg_generated_80.i",
+     "pr-learn/liberty-0.035-0.250-pr.h5", 7,
+     "pj-learn/notredame-liberty-0.035-0.250-pr#7-0.0005-0.100-pj.h5"),
+    ("vgg_generated_120.i",
+     "pr-learn/liberty-0.035-0.250-pr.h5", 7,
+     "pj-learn/notredame-liberty-0.035-0.250-pr#7-0.0001-0.025-pj.h5"),
+]
+
+
+def _read_golden(name):
+    with open(os.path.join(OPENCV_DIR, name)) as f:
+        return f.read()
+
+
+@requires_reference
+@pytest.mark.parametrize("name,_pr,_row,_pj", GOLDENS)
+def test_parse_roundtrip_byte_exact(name, _pr, _row, _pj):
+    text = _read_golden(name)
+    mats = parse_vgg_header(text)
+    pr_src = re.search(r"// PR: \[(.*)\]#(\d+)", text)
+    pj_src = re.search(r"// PJ: \[(.*)\]", text)
+    ours = emit_vgg_header(
+        mats["PR"], mats["PJ"],
+        pr_source=pr_src.group(1), pj_source=pj_src.group(1),
+        pr_row=int(pr_src.group(2)),
+    )
+    assert ours == text.rstrip("\n") or ours + "\n" == text, (
+        f"{name}: re-emitted header differs"
+    )
+
+
+@pytest.fixture(scope="module")
+def full_bank():
+    return build_filter_bank(PoolRegionConfig())
+
+
+@requires_reference
+@pytest.mark.parametrize("name,pr_model,row,_pj", GOLDENS[:2])
+def test_selected_filters_match_published(name, pr_model, row, _pj, full_bank):
+    import h5py
+
+    _, _, filters = full_bank
+    with h5py.File(os.path.join(REFERENCE, "workspace", pr_model), "r") as f:
+        w = f["w"][row]
+    sel = select_pr_filters(filters, w)
+    golden = parse_vgg_header(_read_golden(name))["PR"]
+    assert sel.shape == golden.shape, (
+        f"selected {sel.shape} vs published {golden.shape}"
+    )
+    # identical sparsity pattern
+    np.testing.assert_array_equal(sel != 0.0, golden != 0.0)
+    # values equal to 1-ulp float32 rounding (np.exp vs glibc exp)
+    np.testing.assert_allclose(sel, golden, rtol=2e-6, atol=1e-12)
+    frac_bitexact = np.mean(sel == golden)
+    assert frac_bitexact > 0.9, f"only {frac_bitexact:.4f} bit-exact"
+
+
+@requires_reference
+@pytest.mark.parametrize("name,pr_model,row,pj_model", GOLDENS)
+def test_geometry_matches_published_dims(name, pr_model, row, pj_model):
+    import h5py
+
+    params = pr_params(PoolRegionConfig())
+    with h5py.File(os.path.join(REFERENCE, "workspace", pr_model), "r") as f:
+        w = f["w"][row]
+    n_pr, dim, nz_dim = selected_pr_geometry(params, w)
+    golden = parse_vgg_header(_read_golden(name))
+    assert golden["PR"].shape[0] == n_pr
+    assert golden["PJ"].shape[1] == dim
+    with h5py.File(os.path.join(REFERENCE, "workspace", pj_model), "r") as f:
+        w_proj = f["W"][...]
+    assert w_proj.shape == golden["PJ"].shape
+    np.testing.assert_array_equal(w_proj, golden["PJ"])

@@ -1,0 +1,89 @@
+"""PJ RDA solver: PSD projection invariants + convergence on synthetic data."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from opencv_dlco_tpu.models.pj_rda import (
+    pj_init,
+    pj_train,
+    pj_train_chunk,
+    pj_validate,
+)
+from opencv_dlco_tpu.models.select import pj_model_distances
+from opencv_dlco_tpu.ops.roc import roc_stats
+from opencv_dlco_tpu.utils.configs import PJLearnConfig
+
+from synth import split_train_val, synth_pj_dataset
+
+
+def test_psd_invariants(rng):
+    pos, neg, _ = synth_pj_dataset(rng, n_pos=300, n_neg=300, n_feat=32)
+    state = pj_train_chunk(jnp.asarray(pos), jnp.asarray(neg), 0.001, 0.5,
+                           pj_init(32), jax.random.PRNGKey(0),
+                           batch=64, n_steps=5)
+    a = np.asarray(state.a)
+    w = np.asarray(state.w)
+    # A symmetric PSD
+    np.testing.assert_allclose(a, a.T, atol=1e-5)
+    evs = np.linalg.eigvalsh(a.astype(np.float64))
+    assert evs.min() > -1e-4
+    # A == W^T W (the PSD projection identity)
+    np.testing.assert_allclose(a, w.T @ w, atol=5e-4)
+
+
+def test_convergence_on_synthetic(rng):
+    pos, neg, _ = synth_pj_dataset(rng)
+    pos_trn, pos_val = split_train_val(pos)
+    neg_trn, neg_val = split_train_val(neg)
+    cfg = PJLearnConfig(mu=0.002, gamma=0.5, n_iter=200, log_step=50, batch=100)
+    w_best, history = pj_train(
+        jnp.asarray(pos_trn), jnp.asarray(neg_trn),
+        jnp.asarray(pos_val), jnp.asarray(neg_val), cfg,
+    )
+    assert history[-1]["obj_best"] < history[0]["obj"]
+    rank = int(np.sum(np.any(w_best != 0.0, axis=1)))
+    assert 0 < rank < pos.shape[1], f"rank {rank} not low"
+    # learned metric separates validation pairs
+    dists = np.asarray(
+        pj_model_distances(
+            jnp.asarray(w_best),
+            jnp.asarray(np.concatenate([pos_val, neg_val])),
+        )
+    )
+    labels = np.concatenate([np.ones(len(pos_val)), np.zeros(len(neg_val))])
+    fpr95, auc = roc_stats(jnp.asarray(dists), jnp.asarray(labels))
+    assert float(auc) > 0.9
+    assert float(fpr95) < 0.5
+
+
+def test_subspace_mode_tracks_exact(rng):
+    pos, neg, _ = synth_pj_dataset(rng, n_pos=400, n_neg=400, n_feat=32)
+    key = jax.random.PRNGKey(7)
+    exact = pj_train_chunk(jnp.asarray(pos), jnp.asarray(neg), 0.002, 0.5,
+                           pj_init(32), key, batch=64, n_steps=30,
+                           eigh_mode="exact")
+    sub = pj_train_chunk(jnp.asarray(pos), jnp.asarray(neg), 0.002, 0.5,
+                         pj_init(32), key, batch=64, n_steps=30,
+                         eigh_mode="subspace", subspace_steps=6)
+    # the PSD-projected metric should be close in the quadratic-form sense
+    a1 = np.asarray(exact.a, dtype=np.float64)
+    a2 = np.asarray(sub.a, dtype=np.float64)
+    rel = np.linalg.norm(a1 - a2) / (np.linalg.norm(a1) + 1e-12)
+    assert rel < 0.15, f"subspace drifted {rel:.3f} from exact"
+
+
+def test_validate_metrics(rng):
+    pos, neg, _ = synth_pj_dataset(rng, n_pos=200, n_neg=200, n_feat=16)
+    w = np.eye(16, dtype=np.float32)
+    state = pj_init(16)._replace(w=jnp.asarray(w), a=jnp.asarray(w @ w.T))
+    loss, regul, obj, rank = pj_validate(jnp.asarray(pos), jnp.asarray(neg),
+                                         jnp.float32(0.01), state)
+    np.testing.assert_allclose(float(regul), 0.01 * 16, rtol=1e-6)
+    assert int(rank) == 16
+    # identity projection distances == raw squared norms; check hinge by hand
+    pd = (pos.astype(np.float64) ** 2).sum(1)
+    nd = (neg.astype(np.float64) ** 2).sum(1)
+    ref = np.maximum(pd[:, None] + 1 - nd[None, :], 0).sum() / (200 * 200)
+    np.testing.assert_allclose(float(loss), ref, rtol=1e-4)

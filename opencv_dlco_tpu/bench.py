@@ -1,0 +1,248 @@
+"""Benchmark suite: measure the TPU build against the reference's numbers.
+
+Reference baselines (BASELINE.md, GTX 970 + OpenMP CPU):
+- pr-learn: 100k RDA iterations in ~1.65 s  ->  60,606 samples/s
+- pr-learn validation (2 GEMMs + 50k x 50k hinge): ~0.055 s
+- pj-learn: 100 iterations (batch 200, 544-D eigh each) in ~7.7 s
+- stage-3: 500k pairs x 40,960-filter pooling + 5,120-D ring distances
+
+The headline metric is PR-RDA training throughput in reference-iteration
+equivalents (samples drawn per second) at the full Brown problem shape
+(5,120 rings, 400k train rows), since that is the pipeline's dominant
+compute (the 768-combo sweep of workspace/04-prlearn.sh).
+
+`run()` prints exactly ONE JSON line (the driver contract) and writes all
+suite details to bench_details.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PR_SAMPLES_PER_SEC = 100_000 / 1.65
+BASELINE_PR_VALIDATE_SEC = 0.055
+BASELINE_PJ_ITERS_PER_SEC = 100 / 7.7
+BASELINE_STAGE3_PAIRS_PER_SEC = None  # reference total not published
+
+
+def _fetch(out):
+    """Force completion of all enqueued programs with a host readback.
+
+    On the remote-TPU tunnel `block_until_ready` returns before execution
+    finishes; a scalar reduction enqueued after the timed programs and
+    fetched to host is the reliable completion barrier (TPU programs run
+    in order on the device stream).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
+def _timeit(fn, *args, warmup=1, iters=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    _fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=1024, steps=64):
+    """PR-RDA throughput at the Brown problem shape (single sweep entry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pr_rda import pr_init, pr_train_chunk
+
+    key = jax.random.PRNGKey(0)
+    kp, kn = jax.random.split(key)
+    # generate on device: |N(1, .5)| matches ring-distance magnitudes
+    pos = jnp.abs(1.0 + 0.5 * jax.random.normal(kp, (n_rows, n_feat),
+                                                jnp.float32))
+    neg = jnp.abs(1.2 + 0.5 * jax.random.normal(kn, (n_rows, n_feat),
+                                                jnp.float32))
+    mu = jnp.asarray([0.025], jnp.float32)
+    gamma = jnp.asarray([0.1], jnp.float32)
+    state = pr_init(n_feat, 1)
+    # pr_train_chunk is already jitted; pass the big arrays as arguments
+    # (closing over them would bake GBs of constants into the program).
+    dt = _timeit(lambda: pr_train_chunk(pos, neg, mu, gamma, state, key,
+                                        batch=batch, n_steps=steps))
+    samples_per_sec = batch * steps / dt
+    return dict(samples_per_sec=samples_per_sec, step_time=dt,
+                batch=batch, steps=steps, n_feat=n_feat, n_rows=n_rows,
+                vs_baseline=samples_per_sec / BASELINE_PR_SAMPLES_PER_SEC)
+
+
+def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=1024, steps=16,
+                   n_sweep=256):
+    """The whole 256-combo grid as one program — samples/s counts every
+    sweep entry (the reference runs these as 256 sequential processes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pr_rda import pr_init, pr_train_chunk
+
+    key = jax.random.PRNGKey(0)
+    kp, kn = jax.random.split(key)
+    pos = jnp.abs(1.0 + 0.5 * jax.random.normal(kp, (n_rows, n_feat),
+                                                jnp.float32))
+    neg = jnp.abs(1.2 + 0.5 * jax.random.normal(kn, (n_rows, n_feat),
+                                                jnp.float32))
+    mus = jnp.linspace(0.001, 0.06, n_sweep).astype(jnp.float32)
+    gammas = jnp.linspace(0.005, 0.25, n_sweep).astype(jnp.float32)
+    state = pr_init(n_feat, n_sweep)
+    dt = _timeit(lambda: pr_train_chunk(pos, neg, mus, gammas, state, key,
+                                        batch=batch, n_steps=steps))
+    eff_samples = batch * steps * n_sweep / dt
+    return dict(effective_samples_per_sec=eff_samples, step_time=dt,
+                n_sweep=n_sweep,
+                vs_baseline=eff_samples / BASELINE_PR_SAMPLES_PER_SEC)
+
+
+def bench_pr_validate(n_feat=5120, n_pos=50_000, n_neg=50_000):
+    """Validation: 2 GEMMs + all-pairs hinge (vs reference's 0.055 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pr_rda import pr_init, pr_validate
+
+    key = jax.random.PRNGKey(0)
+    kp, kn = jax.random.split(key)
+    pos = jnp.abs(jax.random.normal(kp, (n_pos, n_feat), jnp.float32))
+    neg = jnp.abs(jax.random.normal(kn, (n_neg, n_feat), jnp.float32))
+    state = pr_init(n_feat, 1)._replace(
+        w=jnp.abs(jax.random.normal(key, (1, n_feat), jnp.float32)))
+    mu = jnp.asarray([0.025], jnp.float32)
+    dt = _timeit(lambda: pr_validate(pos, neg, mu, state))
+    return dict(validate_time=dt,
+                vs_baseline=BASELINE_PR_VALIDATE_SEC / dt)
+
+
+def bench_hinge_kernels(n=50_000):
+    """Blockwise Pallas vs sorted-reformulation all-pairs hinge."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.hinge import hinge_sum_blockwise, hinge_sum_sorted
+
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (n,), jnp.float32)
+    neg = jax.random.normal(jax.random.fold_in(key, 1), (n,), jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    out = {}
+    out["sorted_time"] = _timeit(lambda: hinge_sum_sorted(pos, neg))
+    if on_tpu:
+        out["pallas_time"] = _timeit(
+            lambda: hinge_sum_blockwise(pos, neg))
+    return out
+
+
+def bench_stage3(n_pairs=512, pool_cfg=None):
+    """Stage-3 distance throughput: patch transform + 40960-filter pooling +
+    ring reduction, per pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pair_distance import ring_distances
+    from .ops.patch_transform import batch_patch_transform
+    from .ops.pool_regions import build_filter_bank
+    from .utils.configs import PoolRegionConfig
+
+    cfg = pool_cfg or PoolRegionConfig()
+    _, _, filters = build_filter_bank(cfg)
+    f = jnp.asarray(filters)
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(
+        rng.integers(0, 255, (2 * n_pairs, 64, 64)).astype(np.uint8))
+
+    @jax.jit
+    def stage(flt, p):
+        pt = batch_patch_transform(p)
+        return ring_distances(flt, pt[:n_pairs], pt[n_pairs:])
+
+    dt = _timeit(lambda: stage(f, patches), warmup=1, iters=3)
+    pairs_per_sec = n_pairs / dt
+    return dict(pairs_per_sec=pairs_per_sec, block_time=dt,
+                n_filters=int(f.shape[0]))
+
+
+def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
+    """PJ-RDA iteration rate (eigh-dominated; vs reference's 13 it/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pj_rda import pj_init, pj_train_chunk
+
+    key = jax.random.PRNGKey(0)
+    kp, kn = jax.random.split(key)
+    pos = 0.3 * jax.random.normal(kp, (n_rows, n_feat), jnp.float32)
+    neg = 1.0 * jax.random.normal(kn, (n_rows, n_feat), jnp.float32)
+    state = pj_init(n_feat)
+    out = {}
+    for mode in ("exact", "subspace"):
+        dt = _timeit(
+            lambda m=mode: pj_train_chunk(pos, neg, 0.001, 0.5, state, key,
+                                          batch=batch, n_steps=steps,
+                                          eigh_mode=m),
+            warmup=1, iters=3)
+        out[f"{mode}_iters_per_sec"] = steps / dt
+        out[f"{mode}_vs_baseline"] = (steps / dt) / BASELINE_PJ_ITERS_PER_SEC
+    return out
+
+
+def run(suite: str = "headline", out_path: str = "bench_details.json"):
+    """Default 'headline' keeps remote-compile count low (each program costs
+    ~20-40 s of compile on the tunnel); 'all' runs every suite."""
+    import jax
+
+    details = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+    t0 = time.time()
+    if suite in ("all", "headline", "pr"):
+        details["pr_rda"] = bench_pr_rda()
+    if suite in ("all", "pr"):
+        details["pr_validate"] = bench_pr_validate()
+    if suite in ("all", "headline", "sweep"):
+        details["pr_sweep"] = bench_pr_sweep()
+    if suite in ("all", "hinge"):
+        details["hinge"] = bench_hinge_kernels()
+    if suite in ("all", "stage3"):
+        details["stage3"] = bench_stage3()
+    if suite in ("all", "pj"):
+        details["pj_rda"] = bench_pj_rda()
+    details["total_bench_time"] = time.time() - t0
+
+    with open(out_path, "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps(details, indent=2), file=sys.stderr)
+
+    # Headline: sweep throughput — the reference trains its grid as
+    # sequential single runs, so effective samples/s across the grid is the
+    # apples-to-apples training-throughput comparison. Falls back to the
+    # single-run number if the sweep suite didn't run.
+    if "pr_sweep" in details:
+        line = {
+            "metric": "pr_sweep_samples_per_sec",
+            "value": round(details["pr_sweep"]["effective_samples_per_sec"], 1),
+            "unit": "samples/s",
+            "vs_baseline": round(details["pr_sweep"]["vs_baseline"], 2),
+        }
+    else:
+        headline = details.get("pr_rda", {})
+        line = {
+            "metric": "pr_rda_samples_per_sec",
+            "value": round(headline.get("samples_per_sec", 0.0), 1),
+            "unit": "samples/s",
+            "vs_baseline": round(headline.get("vs_baseline", 0.0), 2),
+        }
+    print(json.dumps(line))
+    return details

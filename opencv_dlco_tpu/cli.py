@@ -119,6 +119,14 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    # Honour DLCO_PLATFORM even where a site hook pre-registers another JAX
+    # backend (env JAX_PLATFORMS alone can be overridden by such hooks).
+    platform = os.environ.get("DLCO_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     p = argparse.ArgumentParser(prog="dlco", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -168,6 +168,13 @@ class Workspace:
         rng.shuffle(neg_idx)
         n_pos_trn = int(len(pos_idx) * train_frac)
         n_neg_trn = int(len(neg_idx) * train_frac)
+        if min(n_pos_trn, n_neg_trn) == 0 or (
+                len(pos_idx) == n_pos_trn or len(neg_idx) == n_neg_trn):
+            raise ValueError(
+                f"degenerate split for {dist_path}: "
+                f"{len(pos_idx)} positive / {len(neg_idx)} negative pairs "
+                f"at train_frac={train_frac} leave an empty train or "
+                f"validation side")
         return dict(
             dists=dists, labels=labels,
             pos_trn=dists[pos_idx[:n_pos_trn]],

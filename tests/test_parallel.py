@@ -1,0 +1,116 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opencv_dlco_tpu.models.pj_rda import pj_init
+from opencv_dlco_tpu.models.pr_rda import pr_init, pr_validate
+from opencv_dlco_tpu.ops.pair_distance import ring_distances
+from opencv_dlco_tpu.ops.pool_regions import build_filter_bank
+from opencv_dlco_tpu.ops.patch_transform import batch_patch_transform
+from opencv_dlco_tpu.parallel.mesh import make_mesh
+from opencv_dlco_tpu.parallel.sharding import (
+    pj_train_chunk_sharded,
+    pr_train_chunk_sharded,
+    pr_validate_sharded,
+    ring_distances_sharded,
+    shard_distance_matrix,
+)
+from opencv_dlco_tpu.utils.configs import PoolRegionConfig
+
+from synth import synth_pj_dataset, synth_pr_dataset
+from oracles import random_patches
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _pad_rows(a, mult):
+    pad = (-a.shape[0]) % mult
+    return np.concatenate([a, a[:pad]]) if pad else a
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2), (2, 4)])
+def test_pr_train_sharded_runs_and_converges(rng, dp, mp):
+    pos, neg, info = synth_pr_dataset(rng, n_pos=1024, n_neg=1024, n_feat=256)
+    mesh = make_mesh(dp=dp, mp=mp)
+    pos_s = shard_distance_matrix(jnp.asarray(pos), mesh)
+    neg_s = shard_distance_matrix(jnp.asarray(neg), mesh)
+    mu = jnp.asarray([0.02], jnp.float32)
+    gamma = jnp.asarray([0.25], jnp.float32)
+    state = pr_init(256, 1)
+    state = pr_train_chunk_sharded(mesh, pos_s, neg_s, mu, gamma, state,
+                                   jax.random.PRNGKey(0),
+                                   batch_per_device=32, n_steps=50)
+    assert int(state.t) == 32 * dp * 50
+    w = np.asarray(state.w[0])
+    assert np.all(w >= 0) and 0 < (w > 0).sum() < 256
+    # informative dims dominate
+    top = set(np.argsort(-w)[: len(info)])
+    assert len(top & set(info)) >= len(info) // 2
+
+    # sharded validation agrees with single-device validation on same w
+    loss_s, regul_s, obj_s, nnz_s = pr_validate_sharded(
+        mesh, pos_s, neg_s, mu, state)
+    loss_1, regul_1, obj_1, nnz_1 = pr_validate(
+        jnp.asarray(pos), jnp.asarray(neg), mu, state)
+    np.testing.assert_allclose(float(loss_s[0]), float(loss_1[0]), rtol=1e-4)
+    np.testing.assert_allclose(float(regul_s[0]), float(regul_1[0]), rtol=1e-5)
+    assert int(nnz_s[0]) == int(nnz_1[0])
+
+
+def test_pj_train_sharded_matches_invariants(rng):
+    pos, neg, _ = synth_pj_dataset(rng, n_pos=512, n_neg=512, n_feat=32)
+    mesh = make_mesh(dp=8, mp=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    row_sh = NamedSharding(mesh, P("dp", None))
+    pos_s = jax.device_put(jnp.asarray(pos), row_sh)
+    neg_s = jax.device_put(jnp.asarray(neg), row_sh)
+    state = pj_train_chunk_sharded(mesh, pos_s, neg_s, 0.001, 0.5,
+                                   pj_init(32), jax.random.PRNGKey(1),
+                                   batch_per_device=16, n_steps=10)
+    a = np.asarray(state.a)
+    w = np.asarray(state.w)
+    np.testing.assert_allclose(a, a.T, atol=1e-5)
+    assert np.linalg.eigvalsh(a.astype(np.float64)).min() > -1e-4
+    np.testing.assert_allclose(a, w.T @ w, atol=5e-4)
+    assert int(state.t) == 10
+
+
+def test_ring_distances_sharded_matches_single(rng):
+    cfg = PoolRegionConfig(nr=4, nphi=2, nsigma=2)  # 16 rings -> mp=2 ok
+    _, _, filters = build_filter_bank(cfg)
+    patches = random_patches(rng, 16)
+    pt = batch_patch_transform(jnp.asarray(patches))
+    mesh = make_mesh(dp=4, mp=2)
+    d_sh = ring_distances_sharded(mesh, jnp.asarray(filters), pt[:8], pt[8:])
+    d_ref = ring_distances(jnp.asarray(filters), pt[:8], pt[8:])
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_vs_unsharded_pr_same_math(rng):
+    """dp=1, mp=1 mesh reproduces the single-device chunk bit-for-bit-ish."""
+    from opencv_dlco_tpu.models.pr_rda import pr_train_chunk
+
+    pos, neg, _ = synth_pr_dataset(rng, n_pos=256, n_neg=256, n_feat=64)
+    mesh = make_mesh(dp=1, mp=1, devices=jax.devices()[:1])
+    mu = jnp.asarray([0.02], jnp.float32)
+    gamma = jnp.asarray([0.1], jnp.float32)
+    key = jax.random.PRNGKey(5)
+    s1 = pr_train_chunk(jnp.asarray(pos), jnp.asarray(neg), mu, gamma,
+                        pr_init(64, 1), key, batch=32, n_steps=20)
+    s2 = pr_train_chunk_sharded(mesh, jnp.asarray(pos), jnp.asarray(neg),
+                                mu, gamma, pr_init(64, 1), key,
+                                batch_per_device=32, n_steps=20)
+    # identical sample stream modulo the fold_in(dp_idx) => not bitwise;
+    # check the iterates land in the same region
+    w1, w2 = np.asarray(s1.w[0]), np.asarray(s2.w[0])
+    assert int(s1.t) == int(s2.t)
+    corr = np.dot(w1, w2) / (np.linalg.norm(w1) * np.linalg.norm(w2) + 1e-12)
+    assert corr > 0.9

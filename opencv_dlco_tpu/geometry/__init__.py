@@ -1,0 +1,34 @@
+from .se3 import (
+    hat,
+    vee,
+    so3_exp,
+    so3_log,
+    se3_exp,
+    se3_log,
+    se3_compose,
+    se3_inverse,
+    se3_apply,
+)
+from .epipolar import (
+    normalize_points,
+    eight_point,
+    essential_project,
+    sampson_distance,
+    ransac_essential,
+    decompose_essential,
+    recover_pose,
+)
+from .triangulate import triangulate_points
+from .ba import two_view_ba, reprojection_residuals
+from .posegraph import optimize_pose_graph
+
+__all__ = [
+    "hat", "vee", "so3_exp", "so3_log", "se3_exp", "se3_log",
+    "se3_compose", "se3_inverse", "se3_apply",
+    "normalize_points", "eight_point", "essential_project",
+    "sampson_distance", "ransac_essential", "decompose_essential",
+    "recover_pose",
+    "triangulate_points",
+    "two_view_ba", "reprojection_residuals",
+    "optimize_pose_graph",
+]

@@ -1,0 +1,146 @@
+"""Two-view epipolar geometry: essential-matrix estimation, TPU-style RANSAC.
+
+TPU design: RANSAC's data-dependent hypothesize-and-verify loop becomes a
+*fully batched* program — all H hypotheses are sampled, solved (vmapped
+8-point), and scored against all N correspondences at once (one (H, N)
+Sampson-distance einsum), then an argmax picks the winner and a masked
+least-squares refit polishes it. No python loops, no dynamic shapes, the
+whole estimator is one jitted function (BASELINE.json config 4).
+
+Points are in *normalized camera coordinates* (K^-1 applied) unless noted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .se3 import hat
+from .triangulate import triangulate_points
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def normalize_points(x: jax.Array):
+    """Hartley normalisation: (N, 2) -> (normalized (N, 2), T (3, 3))."""
+    mean = jnp.mean(x, axis=0)
+    d = jnp.sqrt(jnp.sum((x - mean) ** 2, axis=1))
+    scale = jnp.sqrt(2.0) / (jnp.mean(d) + 1e-12)
+    t = jnp.array([[1.0, 0.0, -mean[0]],
+                   [0.0, 1.0, -mean[1]],
+                   [0.0, 0.0, 1.0]]) * jnp.array([[scale], [scale], [1.0]])
+    xn = (x - mean) * scale
+    return xn, t
+
+
+def _design_matrix(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """(N, 2) x2 -> (N, 9) rows [x2x1, x2y1, x2, y2x1, y2y1, y2, x1, y1, 1]
+    for x2^T E x1 = 0."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], 1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], 1)
+    return (x2h[:, :, None] * x1h[:, None, :]).reshape(-1, 9)
+
+
+def essential_project(e: jax.Array) -> jax.Array:
+    """Project onto the essential manifold: singular values -> (s, s, 0)."""
+    u, s, vt = jnp.linalg.svd(e)
+    sm = (s[..., 0] + s[..., 1]) * 0.5
+    s_new = jnp.stack([sm, sm, jnp.zeros_like(sm)], -1)
+    return u @ (s_new[..., :, None] * vt)
+
+
+def eight_point(x1: jax.Array, x2: jax.Array,
+                weights: jax.Array | None = None) -> jax.Array:
+    """(Weighted) 8-point algorithm on normalized coords -> E (3, 3).
+
+    Solves min ||A e|| via the smallest eigenvector of A^T A (no dynamic
+    shapes: weights mask inliers for the refit case).
+    """
+    a = _design_matrix(x1, x2)
+    if weights is not None:
+        a = a * weights[:, None]
+    ata = jnp.matmul(a.T, a, precision=_HIGHEST)
+    _, vecs = jnp.linalg.eigh(ata)
+    e = vecs[:, 0].reshape(3, 3)
+    return essential_project(e)
+
+
+def sampson_distance(e: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """First-order geometric error of x2^T E x1 = 0: (..., N)."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], -1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], -1)
+    ex1 = jnp.einsum("...ij,...nj->...ni", e, x1h)
+    etx2 = jnp.einsum("...ji,...nj->...ni", e, x2h)
+    num = jnp.einsum("...ni,...ni->...n", x2h, ex1) ** 2
+    den = (ex1[..., 0] ** 2 + ex1[..., 1] ** 2
+           + etx2[..., 0] ** 2 + etx2[..., 1] ** 2)
+    return num / (den + 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "sample_size"))
+def ransac_essential(x1: jax.Array, x2: jax.Array, key: jax.Array,
+                     *, n_hypotheses: int = 512, thresh: float = 1e-4,
+                     sample_size: int = 8):
+    """Batched RANSAC for E.
+
+    Returns (E (3,3), inlier_mask (N,), n_inliers ()). thresh is a Sampson
+    distance in normalized-coordinate units (~ (px / focal)^2 scale).
+    """
+    n = x1.shape[0]
+    idx = jax.random.randint(key, (n_hypotheses, sample_size), 0, n)
+    e_all = jax.vmap(lambda i: eight_point(x1[i], x2[i]))(idx)  # (H, 3, 3)
+    d = sampson_distance(e_all, x1[None], x2[None])             # (H, N)
+    inl = d < thresh
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    best_mask = inl[best]
+    # masked least-squares refit on all inliers of the winner
+    e_refit = eight_point(x1, x2, weights=best_mask.astype(x1.dtype))
+    d_refit = sampson_distance(e_refit, x1, x2)
+    mask_refit = d_refit < thresh
+    # keep the refit only if it didn't lose inliers
+    better = jnp.sum(mask_refit) >= jnp.sum(best_mask)
+    e_final = jnp.where(better, e_refit, e_all[best])
+    mask_final = jnp.where(better, mask_refit, best_mask)
+    return e_final, mask_final, jnp.sum(mask_final)
+
+
+def decompose_essential(e: jax.Array):
+    """E -> 4 candidate (R, t) with ||t|| = 1 (Hartley-Zisserman)."""
+    u, _, vt = jnp.linalg.svd(e)
+    # enforce proper rotations
+    u = u * jnp.sign(jnp.linalg.det(u))
+    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    w = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    r1 = u @ w @ vt
+    r2 = u @ w.T @ vt
+    t = u[:, 2]
+    rs = jnp.stack([r1, r1, r2, r2])
+    ts = jnp.stack([t, -t, t, -t])
+    return rs, ts
+
+
+@jax.jit
+def recover_pose(e: jax.Array, x1: jax.Array, x2: jax.Array,
+                 mask: jax.Array | None = None):
+    """Pick the (R, t) candidate with the most points in front of both
+    cameras (cheirality), triangulating with each candidate.
+
+    Returns (R, t, points3d (N, 3), n_good).
+    """
+    if mask is None:
+        mask = jnp.ones(x1.shape[0], bool)
+    rs, ts = decompose_essential(e)
+
+    def score(r, t):
+        pts = triangulate_points(r, t, x1, x2)
+        z1 = pts[:, 2]
+        z2 = (jnp.einsum("ij,nj->ni", r, pts) + t)[:, 2]
+        good = (z1 > 0) & (z2 > 0) & mask
+        return jnp.sum(good), pts
+
+    counts, pts_all = jax.vmap(score)(rs, ts)
+    best = jnp.argmax(counts)
+    return rs[best], ts[best], pts_all[best], counts[best]

@@ -1,0 +1,124 @@
+"""Pose-graph optimisation over SE(3) relative-pose constraints.
+
+Gauss-Newton on the product manifold of M poses: each edge (i, j, Z_ij)
+contributes the residual
+
+    r_e = log( Z_ij^-1 ∘ (T_i^-1 ∘ T_j) )            (6,)
+
+with Jacobian blocks from vmapped forward-mode autodiff of left-
+multiplicative increments on T_i and T_j. Edge blocks scatter-add into a
+dense (6M, 6M) normal system (fine up to a few hundred keyframes; the
+distributed keyframe-partitioned variant shards edges and psums the
+reduced system — BASELINE.json config 5). Node 0 is gauge-fixed by a
+strong prior. All jit-static shapes; iterations are a lax.scan with
+branchless LM damping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .se3 import se3_compose, se3_exp, se3_inverse, se3_log
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _edge_residual(xi_i, xi_j, r_i, t_i, r_j, t_j, r_z, t_z):
+    """Residual of one edge under increments xi on both endpoint poses."""
+    dri, dti = se3_exp(xi_i)
+    drj, dtj = se3_exp(xi_j)
+    ri, ti = se3_compose(dri, dti, r_i, t_i)
+    rj, tj = se3_compose(drj, dtj, r_j, t_j)
+    r_rel, t_rel = se3_compose(*se3_inverse(ri, ti), rj, tj)
+    r_err, t_err = se3_compose(*se3_inverse(r_z, t_z), r_rel, t_rel)
+    return se3_log(r_err, t_err)
+
+
+class PoseGraphResult(NamedTuple):
+    r: jax.Array            # (M, 3, 3)
+    t: jax.Array            # (M, 3)
+    cost_history: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph(r0, t0, edges_i, edges_j, r_z, t_z,
+                        weights=None, *, n_iters: int = 15,
+                        init_lambda: float = 1e-4,
+                        gauge_weight: float = 1e6) -> PoseGraphResult:
+    """Optimise M poses given E relative constraints.
+
+    Args:
+      r0, t0: (M, 3, 3), (M, 3) initial poses (world_T_node convention
+        consistent with the measurements).
+      edges_i, edges_j: (E,) int32 endpoint indices.
+      r_z, t_z: (E, 3, 3), (E, 3) measured i_T_j relative poses.
+      weights: (E,) edge weights.
+    """
+    m = r0.shape[0]
+    e = edges_i.shape[0]
+    if weights is None:
+        weights = jnp.ones((e,), t0.dtype)
+    zero = jnp.zeros(6, t0.dtype)
+
+    def linearize(r, t):
+        ri, ti = r[edges_i], t[edges_i]
+        rj, tj = r[edges_j], t[edges_j]
+        res = jax.vmap(
+            lambda a, b, c, d, f, g: _edge_residual(zero, zero, a, b, c, d, f, g)
+        )(ri, ti, rj, tj, r_z, t_z)                          # (E, 6)
+        ja = jax.vmap(
+            lambda a, b, c, d, f, g: jax.jacfwd(_edge_residual, 0)(
+                zero, zero, a, b, c, d, f, g)
+        )(ri, ti, rj, tj, r_z, t_z)                          # (E, 6, 6)
+        jb = jax.vmap(
+            lambda a, b, c, d, f, g: jax.jacfwd(_edge_residual, 1)(
+                zero, zero, a, b, c, d, f, g)
+        )(ri, ti, rj, tj, r_z, t_z)
+        cost = jnp.sum(weights[:, None] * res * res)
+        return res, ja, jb, cost
+
+    def build_normal(res, ja, jb):
+        w = weights[:, None, None]
+        haa = w * jnp.einsum("eri,erj->eij", ja, ja, precision=_HIGHEST)
+        hbb = w * jnp.einsum("eri,erj->eij", jb, jb, precision=_HIGHEST)
+        hab = w * jnp.einsum("eri,erj->eij", ja, jb, precision=_HIGHEST)
+        ba = -jnp.einsum("e,eri,er->ei", weights, ja, res)
+        bb = -jnp.einsum("e,eri,er->ei", weights, jb, res)
+        h = jnp.zeros((m, m, 6, 6), res.dtype)
+        h = h.at[edges_i, edges_i].add(haa)
+        h = h.at[edges_j, edges_j].add(hbb)
+        h = h.at[edges_i, edges_j].add(hab)
+        h = h.at[edges_j, edges_i].add(jnp.swapaxes(hab, -1, -2))
+        b = jnp.zeros((m, 6), res.dtype)
+        b = b.at[edges_i].add(ba)
+        b = b.at[edges_j].add(bb)
+        # gauge prior on node 0
+        h = h.at[0, 0].add(gauge_weight * jnp.eye(6))
+        return h, b
+
+    def step(carry, _):
+        r, t, lam = carry
+        res, ja, jb, cost = linearize(r, t)
+        h, b = build_normal(res, ja, jb)
+        hd = h.transpose(0, 2, 1, 3).reshape(6 * m, 6 * m)
+        hd = hd + lam * jnp.diag(jnp.maximum(jnp.diag(hd), 1e-8))
+        dx = jnp.linalg.solve(hd + 1e-9 * jnp.eye(6 * m),
+                              b.reshape(-1)).reshape(m, 6)
+        dr, dt = se3_exp(dx)
+        r_new, t_new = se3_compose(dr, dt, r, t)
+        _, _, _, new_cost = linearize(r_new, t_new)
+        accept = new_cost < cost
+        r = jnp.where(accept, r_new, r)
+        t = jnp.where(accept, t_new, t)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        return (r, t, lam), jnp.where(accept, new_cost, cost)
+
+    _, _, _, cost0 = linearize(r0, t0)
+    (r, t, _), costs = jax.lax.scan(
+        step, (r0, t0, jnp.asarray(init_lambda)), None, length=n_iters)
+    return PoseGraphResult(r=r, t=t,
+                           cost_history=jnp.concatenate([cost0[None], costs]))

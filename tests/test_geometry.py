@@ -1,0 +1,215 @@
+"""Geometry stack: SE(3) maps, RANSAC essential, triangulation, BA, pose graph."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opencv_dlco_tpu.geometry import (
+    optimize_pose_graph,
+    ransac_essential,
+    recover_pose,
+    reprojection_residuals,
+    sampson_distance,
+    se3_compose,
+    se3_exp,
+    se3_inverse,
+    se3_log,
+    so3_exp,
+    so3_log,
+    triangulate_points,
+    two_view_ba,
+)
+
+
+def _random_pose(rng, max_angle=0.5, max_t=1.0):
+    phi = rng.normal(size=3)
+    phi = phi / np.linalg.norm(phi) * rng.uniform(0.05, max_angle)
+    r = np.asarray(so3_exp(jnp.asarray(phi)))
+    t = rng.uniform(-max_t, max_t, 3)
+    return r, t
+
+
+def _two_view_scene(rng, n=200, noise=0.0, outlier_frac=0.0):
+    """Random scene in front of two cameras; returns normalized observations."""
+    pts = np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), rng.uniform(4, 10, n)
+    ], 1)
+    r, t = _random_pose(rng, max_angle=0.3, max_t=0.5)
+    p1 = pts[:, :2] / pts[:, 2:3]
+    q = pts @ r.T + t
+    p2 = q[:, :2] / q[:, 2:3]
+    if noise:
+        p1 = p1 + rng.normal(0, noise, p1.shape)
+        p2 = p2 + rng.normal(0, noise, p2.shape)
+    n_out = int(n * outlier_frac)
+    if n_out:
+        p2[:n_out] = rng.uniform(-0.5, 0.5, (n_out, 2))
+    return pts, r, t, p1.astype(np.float32), p2.astype(np.float32)
+
+
+# -- SE(3) ----------------------------------------------------------------
+
+def test_so3_exp_log_roundtrip(rng):
+    for _ in range(10):
+        phi = rng.normal(size=3)
+        phi = phi / np.linalg.norm(phi) * rng.uniform(0.01, 3.1)
+        r = so3_exp(jnp.asarray(phi))
+        rr = np.asarray(r)
+        assert np.allclose(rr @ rr.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(rr) - 1) < 1e-5
+        back = np.asarray(so3_log(r))
+        np.testing.assert_allclose(back, phi, rtol=1e-3, atol=1e-4)
+
+
+def test_se3_exp_log_compose_inverse(rng):
+    xi = jnp.asarray(rng.normal(size=6) * 0.5)
+    r, t = se3_exp(xi)
+    back = np.asarray(se3_log(r, t))
+    np.testing.assert_allclose(back, np.asarray(xi), rtol=1e-4, atol=1e-5)
+    ri, ti = se3_inverse(r, t)
+    rc, tc = se3_compose(r, t, ri, ti)
+    np.testing.assert_allclose(np.asarray(rc), np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tc), 0.0, atol=1e-5)
+
+
+# -- epipolar -------------------------------------------------------------
+
+def test_ransac_essential_clean(rng):
+    pts, r, t, p1, p2 = _two_view_scene(rng, n=200, noise=0.0)
+    e, mask, n_inl = ransac_essential(
+        jnp.asarray(p1), jnp.asarray(p2), jax.random.PRNGKey(0),
+        n_hypotheses=128, thresh=1e-6)
+    assert int(n_inl) > 190
+    d = np.asarray(sampson_distance(e, jnp.asarray(p1), jnp.asarray(p2)))
+    assert np.median(d) < 1e-8
+
+
+def test_ransac_essential_outliers_and_pose(rng):
+    pts, r, t, p1, p2 = _two_view_scene(rng, n=300, noise=1e-4,
+                                        outlier_frac=0.3)
+    e, mask, n_inl = ransac_essential(
+        jnp.asarray(p1), jnp.asarray(p2), jax.random.PRNGKey(1),
+        n_hypotheses=1024, thresh=1e-5)
+    mask_np = np.asarray(mask)
+    # outliers were planted at the front
+    assert mask_np[90:].mean() > 0.95
+    assert mask_np[:90].mean() < 0.2
+
+    r_est, t_est, pts3d, n_good = recover_pose(
+        e, jnp.asarray(p1), jnp.asarray(p2), mask)
+    # rotation error
+    dr = np.asarray(r_est) @ r.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+    assert ang < 1.0, f"rotation error {ang:.2f} deg"
+    # translation direction (scale is unobservable)
+    t_est_np = np.asarray(t_est)
+    cos = abs(t_est_np @ t / (np.linalg.norm(t_est_np) * np.linalg.norm(t)))
+    assert cos > 0.99
+
+
+def test_triangulation_exact(rng):
+    pts, r, t, p1, p2 = _two_view_scene(rng, n=100)
+    out = np.asarray(triangulate_points(jnp.asarray(r.astype(np.float32)),
+                                        jnp.asarray(t.astype(np.float32)),
+                                        jnp.asarray(p1), jnp.asarray(p2)))
+    np.testing.assert_allclose(out, pts, rtol=2e-3, atol=2e-3)
+
+
+# -- bundle adjustment ----------------------------------------------------
+
+def test_two_view_ba_reduces_error(rng):
+    pts, r, t, p1, p2 = _two_view_scene(rng, n=150, noise=5e-4)
+    # perturb pose + points as the initial guess
+    r0 = np.asarray(so3_exp(jnp.asarray(rng.normal(size=3) * 0.01))) @ r
+    t0 = t + rng.normal(0, 0.02, 3)
+    pts0 = pts + rng.normal(0, 0.05, pts.shape)
+    init_res = np.asarray(reprojection_residuals(
+        jnp.asarray(r0.astype(np.float32)), jnp.asarray(t0.astype(np.float32)),
+        jnp.asarray(pts0.astype(np.float32)), jnp.asarray(p1), jnp.asarray(p2)))
+    cost0 = float((init_res ** 2).sum())
+    res = two_view_ba(jnp.asarray(r0.astype(np.float32)),
+                      jnp.asarray(t0.astype(np.float32)),
+                      jnp.asarray(pts0.astype(np.float32)),
+                      jnp.asarray(p1), jnp.asarray(p2), n_iters=15)
+    costs = np.asarray(res.cost_history)
+    assert costs[-1] < cost0 * 0.05, f"costs {cost0:.2e}->{costs[-1]:.2e}"
+    final = np.asarray(reprojection_residuals(res.r, res.t, res.points,
+                                              jnp.asarray(p1), jnp.asarray(p2)))
+    rms = np.sqrt((final ** 2).mean())
+    assert rms < 2e-3, f"rms reprojection {rms:.2e}"
+    dr = np.asarray(res.r) @ r.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+    assert ang < 0.5
+
+
+def test_two_view_ba_with_outlier_weights(rng):
+    pts, r, t, p1, p2 = _two_view_scene(rng, n=100, noise=1e-4)
+    p2_bad = p2.copy()
+    p2_bad[:10] += 0.3  # gross outliers
+    w = np.ones(100, np.float32)
+    w[:10] = 0.0
+    res = two_view_ba(jnp.asarray(r.astype(np.float32)),
+                      jnp.asarray(t.astype(np.float32)),
+                      jnp.asarray(pts.astype(np.float32)),
+                      jnp.asarray(p1), jnp.asarray(p2_bad),
+                      weights=jnp.asarray(w), n_iters=8)
+    final = np.asarray(reprojection_residuals(
+        res.r, res.t, res.points, jnp.asarray(p1), jnp.asarray(p2_bad)))
+    rms_in = np.sqrt((final[10:] ** 2).mean())
+    assert rms_in < 1e-3
+
+
+# -- pose graph -----------------------------------------------------------
+
+def test_pose_graph_closes_loop():
+    """Chain of noisy odometry + one loop closure: optimisation must pull
+    the drifted chain back (classic pose-graph sanity). Local seed: the
+    drift ratio depends on the noise draw, so the shared session rng would
+    make this order-dependent."""
+    rng = np.random.default_rng(7)
+    m = 20
+    # ground-truth circular trajectory
+    rs, ts = [np.eye(3)], [np.zeros(3)]
+    step_xi = np.array([0.5, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / m])
+    for i in range(1, m):
+        dr, dt = se3_exp(jnp.asarray(step_xi))
+        r, t = se3_compose(jnp.asarray(rs[-1]), jnp.asarray(ts[-1]), dr, dt)
+        rs.append(np.asarray(r)); ts.append(np.asarray(t))
+    rs_gt, ts_gt = np.stack(rs), np.stack(ts)
+
+    # odometry edges with noise -> drifted initialisation
+    ei, ej, rz, tz = [], [], [], []
+    rs0, ts0 = [rs_gt[0]], [ts_gt[0]]
+    for i in range(m - 1):
+        r_rel, t_rel = se3_compose(
+            *se3_inverse(jnp.asarray(rs_gt[i]), jnp.asarray(ts_gt[i])),
+            jnp.asarray(rs_gt[i + 1]), jnp.asarray(ts_gt[i + 1]))
+        noise = se3_exp(jnp.asarray(rng.normal(size=6) * 0.01))
+        r_n, t_n = se3_compose(r_rel, t_rel, *noise)
+        ei.append(i); ej.append(i + 1)
+        rz.append(np.asarray(r_n)); tz.append(np.asarray(t_n))
+        r0, t0 = se3_compose(jnp.asarray(rs0[-1]), jnp.asarray(ts0[-1]),
+                             r_n, t_n)
+        rs0.append(np.asarray(r0)); ts0.append(np.asarray(t0))
+    # loop closure: exact relative pose last -> first
+    r_rel, t_rel = se3_compose(
+        *se3_inverse(jnp.asarray(rs_gt[m - 1]), jnp.asarray(ts_gt[m - 1])),
+        jnp.asarray(rs_gt[0]), jnp.asarray(ts_gt[0]))
+    ei.append(m - 1); ej.append(0)
+    rz.append(np.asarray(r_rel)); tz.append(np.asarray(t_rel))
+
+    rs0, ts0 = np.stack(rs0), np.stack(ts0)
+    drift0 = np.linalg.norm(ts0 - ts_gt, axis=1).mean()
+
+    out = optimize_pose_graph(
+        jnp.asarray(rs0.astype(np.float32)), jnp.asarray(ts0.astype(np.float32)),
+        jnp.asarray(ei, dtype=jnp.int32), jnp.asarray(ej, dtype=jnp.int32),
+        jnp.asarray(np.stack(rz).astype(np.float32)),
+        jnp.asarray(np.stack(tz).astype(np.float32)),
+        n_iters=20)
+    costs = np.asarray(out.cost_history)
+    assert costs[-1] < costs[0] * 0.1
+    drift1 = np.linalg.norm(np.asarray(out.t) - ts_gt, axis=1).mean()
+    assert drift1 < drift0 * 0.5, f"ATE {drift0:.3f} -> {drift1:.3f}"

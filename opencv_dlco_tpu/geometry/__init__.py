@@ -20,6 +20,12 @@ from .epipolar import (
 )
 from .triangulate import triangulate_points
 from .ba import two_view_ba, reprojection_residuals
+from .mvba import (
+    build_landmark_table,
+    multi_view_ba,
+    multi_view_ba_sharded,
+    shard_ba_problem,
+)
 from .posegraph import optimize_pose_graph
 
 __all__ = [
@@ -30,5 +36,7 @@ __all__ = [
     "recover_pose",
     "triangulate_points",
     "two_view_ba", "reprojection_residuals",
+    "build_landmark_table", "multi_view_ba", "multi_view_ba_sharded",
+    "shard_ba_problem",
     "optimize_pose_graph",
 ]

@@ -55,7 +55,8 @@ def _timeit(fn, *args, warmup=1, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=1024, steps=64):
+def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=4096, steps=64,
+                 sampling="block"):
     """PR-RDA throughput at the Brown problem shape (single sweep entry)."""
     import jax
     import jax.numpy as jnp
@@ -75,7 +76,8 @@ def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=1024, steps=64):
     # pr_train_chunk is already jitted; pass the big arrays as arguments
     # (closing over them would bake GBs of constants into the program).
     dt = _timeit(lambda: pr_train_chunk(pos, neg, mu, gamma, state, key,
-                                        batch=batch, n_steps=steps))
+                                        batch=batch, n_steps=steps,
+                                        sampling=sampling))
     samples_per_sec = batch * steps / dt
     return dict(samples_per_sec=samples_per_sec, step_time=dt,
                 batch=batch, steps=steps, n_feat=n_feat, n_rows=n_rows,
@@ -83,7 +85,7 @@ def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=1024, steps=64):
 
 
 def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=1024, steps=16,
-                   n_sweep=256):
+                   n_sweep=256, sampling="block"):
     """The whole 256-combo grid as one program — samples/s counts every
     sweep entry (the reference runs these as 256 sequential processes)."""
     import jax
@@ -101,7 +103,8 @@ def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=1024, steps=16,
     gammas = jnp.linspace(0.005, 0.25, n_sweep).astype(jnp.float32)
     state = pr_init(n_feat, n_sweep)
     dt = _timeit(lambda: pr_train_chunk(pos, neg, mus, gammas, state, key,
-                                        batch=batch, n_steps=steps))
+                                        batch=batch, n_steps=steps,
+                                        sampling=sampling))
     eff_samples = batch * steps * n_sweep / dt
     return dict(effective_samples_per_sec=eff_samples, step_time=dt,
                 n_sweep=n_sweep,

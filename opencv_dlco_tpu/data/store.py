@@ -58,11 +58,15 @@ class ArtifactStore:
         data = np.asarray(data)
         if name in self._f:
             del self._f[name]
-        chunks = (min(chunk_rows, data.shape[0]),) + data.shape[1:] if data.ndim else None
-        self._f.create_dataset(
-            name, data=data, chunks=chunks,
-            compression="gzip", compression_opts=compression,
-        )
+        if data.ndim == 0 or data.size == 0:
+            # scalars / empty arrays: no chunking or compression
+            self._f.create_dataset(name, data=data)
+        else:
+            chunks = (min(chunk_rows, data.shape[0]),) + data.shape[1:]
+            self._f.create_dataset(
+                name, data=data, chunks=chunks,
+                compression="gzip", compression_opts=compression,
+            )
         self._f.flush()
 
     def read(self, name: str, start: Optional[int] = None,

@@ -55,14 +55,32 @@ def pr_init(n_feat: int, n_sweep: int = 1) -> PRState:
     )
 
 
-def _pr_step(pos_trn, neg_trn, mu, gamma, batch, state, key):
-    """One batched RDA step; mu/gamma are (S,) arrays."""
+def _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling, state, key):
+    """One batched RDA step; mu/gamma are (S,) arrays.
+
+    sampling="gather": i.i.d. row sampling with replacement (reference
+    semantics). sampling="block": a random *contiguous* block of the
+    pre-shuffled training rows — the rows were permuted uniformly at split
+    time (pipeline/stages._load_split), so a random-offset block is a
+    uniform sample without replacement; sequential HBM reads run ~2.5x
+    faster than the random gather on TPU.
+    """
     kp, kn = jax.random.split(key)
     n_pos = pos_trn.shape[0]
     n_neg = neg_trn.shape[0]
-    ip = jax.random.randint(kp, (batch,), 0, n_pos)
-    ineg = jax.random.randint(kn, (batch,), 0, n_neg)
-    fd = pos_trn[ip] - neg_trn[ineg]                      # (B, F)
+    # block mode needs at least one full block per side; tiny datasets
+    # (shapes are static, so this resolves at trace time) fall back to gather
+    if sampling == "block" and batch < min(n_pos, n_neg):
+        ip0 = jax.random.randint(kp, (), 0, n_pos - batch + 1)
+        in0 = jax.random.randint(kn, (), 0, n_neg - batch + 1)
+        fd = (jax.lax.dynamic_slice(pos_trn, (ip0, 0),
+                                    (batch, pos_trn.shape[1]))
+              - jax.lax.dynamic_slice(neg_trn, (in0, 0),
+                                      (batch, neg_trn.shape[1])))
+    else:
+        ip = jax.random.randint(kp, (batch,), 0, n_pos)
+        ineg = jax.random.randint(kn, (batch,), 0, n_neg)
+        fd = pos_trn[ip] - neg_trn[ineg]                  # (B, F)
     f = jnp.matmul(fd, state.w.T, precision=_HIGHEST)     # (B, S)
     viol = (f > -1.0).astype(jnp.float32)
     g = jnp.matmul(viol.T, fd, precision=_HIGHEST)        # (S, F)
@@ -76,16 +94,18 @@ def _pr_step(pos_trn, neg_trn, mu, gamma, batch, state, key):
     return PRState(w=w, df_avg=df_avg, t=t_new)
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("batch", "n_steps", "sampling"))
 def pr_train_chunk(pos_trn: jax.Array, neg_trn: jax.Array,
                    mu: jax.Array, gamma: jax.Array,
                    state: PRState, key: jax.Array,
-                   *, batch: int, n_steps: int) -> PRState:
+                   *, batch: int, n_steps: int,
+                   sampling: str = "gather") -> PRState:
     """Run n_steps batched RDA steps (n_steps * batch reference iterations)."""
     keys = jax.random.split(key, n_steps)
 
     def body(st, k):
-        return _pr_step(pos_trn, neg_trn, mu, gamma, batch, st, k), None
+        return _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling,
+                        st, k), None
 
     state, _ = jax.lax.scan(body, state, keys)
     return state

@@ -89,7 +89,8 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
         for li in range(n_logs):
             key, sub = jax.random.split(key)
             state = pr_train_chunk(pos_trn, neg_trn, mus, gammas, state, sub,
-                                   batch=base.batch, n_steps=steps_per_log)
+                                   batch=base.batch, n_steps=steps_per_log,
+                                   sampling=base.sampling)
             loss, regul, obj, nnz = pr_validate(pos_val, neg_val, mus, state)
             improved, best_obj, best_w = _track_best(obj, best_obj,
                                                      state.w, best_w)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..data.brown import convert_brown_patches, pair_labels
 from ..data.store import ArtifactStore, parse_model_ref
-from ..models.pr_rda import pr_init, pr_train_chunk, pr_validate
+from ..models.pr_rda import PRState, pr_init, pr_train_chunk, pr_validate
 from ..models.pj_rda import pj_init, pj_train_chunk, pj_validate
 from ..models.select import (
     compute_pj_stats,
@@ -189,15 +189,24 @@ class Workspace:
                 dist_path: Optional[str] = None) -> str:
         """One PR RDA run -> pr-learn/{ds}-{mu}-{gamma}-pr.h5 with the
         improving-w history (reference: 04-prlearn.sh, src/pr-learn.cpp)."""
+        from ..utils.checkpoint import load_solver_state, save_solver_state
+
         run = f"{ds}-{cfg.mu}-{cfg.gamma}-pr"
         out = self.path("pr-learn", f"{run}.h5")
         log_path = self.path("pr-learn", "logging", f"{run}.jsonl")
         marker = f"{cfg.n_iter}"
+        resume = None
         if os.path.exists(out):
             with ArtifactStore(out, "r") as st:
                 if st.get_meta("done_iters") == marker:
                     return out
-            os.remove(out)  # partial run: restart (04-prlearn.sh:19-22)
+                # mid-run snapshot? resume from it instead of restarting
+                # (improves on the reference's stage-level-only resume,
+                # 04-prlearn.sh:19-22)
+                resume = load_solver_state(st, PRState)
+                resume_meta = st.get_meta("solver_state_meta") or {}
+            if resume is None:
+                os.remove(out)
 
         data = self._load_split(dist_path or self.path("distances", f"{ds}-dist.h5"),
                                 cfg.train_frac, cfg.seed)
@@ -211,21 +220,27 @@ class Workspace:
 
         mu = jnp.asarray([cfg.mu], jnp.float32)
         gamma = jnp.asarray([cfg.gamma], jnp.float32)
-        state = pr_init(pos_trn.shape[1], 1)
-        key = jax.random.PRNGKey(cfg.seed)
-
         steps_per_log = max(1, cfg.log_step // cfg.batch)
         n_logs = max(1, cfg.n_iter // (steps_per_log * cfg.batch))
+        done_logs = 0
         obj_best = np.inf
+        if resume is not None:
+            state, key = resume
+            done_logs = int(resume_meta.get("completed_logs", 0))
+            obj_best = float(resume_meta.get("obj_best", np.inf))
+        else:
+            state = pr_init(pos_trn.shape[1], 1)
+            key = jax.random.PRNGKey(cfg.seed)
 
         with MetricLogger(jsonl_path=log_path) as log, \
-                ArtifactStore(out, "w") as st:
+                ArtifactStore(out, "a") as st:
             t_train0 = time.perf_counter()
-            for _ in range(n_logs):
+            for li in range(done_logs, n_logs):
                 key, sub = jax.random.split(key)
                 state = pr_train_chunk(pos_trn, neg_trn, mu, gamma, state,
                                        sub, batch=cfg.batch,
-                                       n_steps=steps_per_log)
+                                       n_steps=steps_per_log,
+                                       sampling=cfg.sampling)
                 jax.block_until_ready(state.w)
                 t_train = time.perf_counter() - t_train0
                 t_val0 = time.perf_counter()
@@ -251,6 +266,9 @@ class Workspace:
                                 auc=stats["auc"] or 0.0,
                                 fpr95=stats["fpr95"] if stats["fpr95"] is not None else -1.0,
                                 saved=saved)
+                save_solver_state(st, state, key,
+                                  extra={"completed_logs": li + 1,
+                                         "obj_best": obj_best})
                 t_train0 = time.perf_counter()
             st.set_meta("done_iters", marker)
             st.set_meta("config", vars(cfg))

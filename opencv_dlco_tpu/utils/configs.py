@@ -60,10 +60,14 @@ class PRLearnConfig:
     max_dim: int = 640
     n_iter: int = 5_000_000
     log_step: int = 100_000
-    batch: int = 1024
+    batch: int = 4096
     train_frac: float = 0.80
     seed: int = 2215
     n_angle_bins: int = 8
+    # "block": random contiguous blocks of the pre-shuffled rows (sequential
+    # HBM reads, ~2.5x faster); "gather": i.i.d. with replacement
+    # (reference semantics). Convergence-equivalent (tests/test_pr_sampling).
+    sampling: str = "block"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,6 +99,42 @@ def cmd_pjlearn(args):
     print(f"pj model: {_ws(args).pjlearn(args.unproj, cfg)}")
 
 
+def cmd_pjsweep(args):
+    from .parallel.sweep import run_pj_sweep
+    from .utils.configs import PJLearnConfig, PJSweepGrid
+
+    ws = _ws(args)
+    base = PJLearnConfig(n_iter=args.iters, log_step=args.log_step,
+                         batch=args.batch, eigh_mode=args.eigh_mode)
+    results = run_pj_sweep(ws, args.unproj, PJSweepGrid(), base)
+    print(json.dumps(results[:10], indent=2))
+
+
+def cmd_sfm(args):
+    import numpy as np
+
+    from .models.vgg import VGGDescriptor
+    from .pipeline.sfm import two_view_sfm
+
+    import cv2
+
+    img1 = cv2.imread(args.image1, cv2.IMREAD_GRAYSCALE)
+    img2 = cv2.imread(args.image2, cv2.IMREAD_GRAYSCALE)
+    with open(args.model) as f:
+        model = VGGDescriptor.from_header(f.read())
+    fx, fy, cx, cy = (float(v) for v in args.intrinsics.split(","))
+    res = two_view_sfm(img1, img2, (fx, fy, cx, cy), model,
+                       n_keypoints=args.keypoints)
+    print(json.dumps({
+        "n_matches": res.n_matches,
+        "n_inliers": res.n_inliers,
+        "rms_reproj": res.rms_reproj,
+        "rotation": res.rotation.tolist(),
+        "translation": res.translation.tolist(),
+        "n_points": int(res.points3d.shape[0]),
+    }, indent=2))
+
+
 def cmd_pjstats(args):
     from .pipeline.stages import Workspace as W
 
@@ -197,6 +233,25 @@ def main(argv=None):
     sp.add_argument("--eigh-mode", default="exact",
                     choices=["exact", "subspace"])
     sp.set_defaults(fn=cmd_pjlearn)
+
+    sp = sub.add_parser("pjsweep", help="vmapped PJ hyperparameter grid")
+    common(sp)
+    sp.add_argument("--unproj", required=True)
+    sp.add_argument("--iters", type=int, default=50_000)
+    sp.add_argument("--log-step", type=int, default=100)
+    sp.add_argument("--batch", type=int, default=200)
+    sp.add_argument("--eigh-mode", default="exact",
+                    choices=["exact", "subspace"])
+    sp.set_defaults(fn=cmd_pjsweep)
+
+    sp = sub.add_parser("sfm", help="two-view SfM on an image pair")
+    common(sp, workspace=False)
+    sp.add_argument("--image1", required=True)
+    sp.add_argument("--image2", required=True)
+    sp.add_argument("--model", required=True, help="vgg_generated .i header")
+    sp.add_argument("--intrinsics", required=True, help="fx,fy,cx,cy")
+    sp.add_argument("--keypoints", type=int, default=512)
+    sp.set_defaults(fn=cmd_sfm)
 
     sp = sub.add_parser("pjstats", help="PJ model ranking")
     common(sp)

@@ -163,6 +163,34 @@ def pj_train_chunk(pos_trn, neg_trn, mu, gamma, state: PJState, key,
     return state
 
 
+def pj_init_batch(n_feat: int, n_sweep: int) -> PJState:
+    """Stacked states for a vmapped sweep: every field gains a leading S."""
+    one = pj_init(n_feat)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_sweep,) + x.shape).copy(), one)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "n_steps", "eigh_mode",
+                                    "subspace_steps"))
+def pj_train_chunk_batch(pos_trn, neg_trn, mus, gammas, states: PJState,
+                         keys, *, batch: int, n_steps: int,
+                         eigh_mode: str = "exact",
+                         subspace_steps: int = 4) -> PJState:
+    """Vmapped sweep step: S solver states share the dataset; the S
+    eigendecompositions batch into one (S, F, F) eigh call — far better MXU
+    utilisation than S sequential 544x544 factorisations (the reference
+    runs its 45-combo PJ grid as sequential processes, 08-pjlearn.sh)."""
+
+    def one(mu, gamma, st, k):
+        return pj_train_chunk(pos_trn, neg_trn, mu, gamma, st, k,
+                              batch=batch, n_steps=n_steps,
+                              eigh_mode=eigh_mode,
+                              subspace_steps=subspace_steps)
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(mus, gammas, states, keys)
+
+
 @jax.jit
 def pj_validate(pos_val, neg_val, mu, state: PJState):
     """Validation objective (reference: src/pj-learn.cpp:501-527).

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..data.store import ArtifactStore
 from ..models.pr_rda import pr_init, pr_train_chunk, pr_validate
-from ..models.pj_rda import pj_init, pj_train_chunk, pj_validate
+from ..models.pj_rda import pj_validate
 from ..models.select import compute_pj_stats, selected_pr_geometry
 from ..utils.configs import (
     PJLearnConfig,
@@ -130,25 +130,96 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
 
 
 def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
-                 base: PJLearnConfig) -> List[dict]:
-    """PJ grid sweep. The PJ state is (F, F) per entry (e.g. 544^2 = 1.2 MB),
-    so the full 45-combo grid fits on one chip; entries run as a python loop
-    over a shared resident dataset (the eigh dominates each step, and XLA
-    overlaps the host loop's next-step dispatch), reusing Workspace.pjlearn
-    artifacts and resume semantics."""
-    results = []
-    for mu in grid.mus:
-        for gamma in grid.gammas:
-            cfg = PJLearnConfig(mu=mu, gamma=gamma, n_iter=base.n_iter,
-                                log_step=base.log_step, batch=base.batch,
-                                train_frac=base.train_frac, seed=base.seed,
-                                eigh_mode=base.eigh_mode,
-                                subspace_steps=base.subspace_steps)
-            path = ws.pjlearn(unproj_path, cfg)
-            with ArtifactStore(path, "r") as st:
-                best = st.get_meta("best", {})
-                dim = st.shape("W")[0] if st.exists("W") else 0
-            results.append(dict(mu=mu, gamma=gamma, model=path, dim=dim,
-                                **best))
-    results.sort(key=lambda r: r.get("fpr95", np.inf))
-    return results
+                 base: PJLearnConfig,
+                 run_label: Optional[str] = None) -> List[dict]:
+    """PJ grid sweep as ONE vmapped program.
+
+    All S = |grid| solver states train together over the shared resident
+    dataset; each step's S eigendecompositions run as one batched eigh
+    (models/pj_rda.pj_train_chunk_batch). Objective-best iterates are
+    tracked on device; full-dataset FPR95/AUC stats are evaluated once per
+    entry at the end and each entry writes the same
+    pj-learn/{label}-{mu}-{gamma}-pj.h5 artifact Workspace.pjlearn would.
+    """
+    import os
+
+    from ..models.pj_rda import pj_init_batch, pj_train_chunk_batch
+    from ..models.select import compute_pj_stats
+
+    combos = [(m, g) for m in grid.mus for g in grid.gammas]
+    s = len(combos)
+    mus = jnp.asarray([c[0] for c in combos], jnp.float32)
+    gammas = jnp.asarray([c[1] for c in combos], jnp.float32)
+
+    if run_label is None:
+        run_label = os.path.basename(unproj_path).replace("-unproj.h5", "")
+    data = ws._load_split(unproj_path, base.train_frac, base.seed)
+    pos_trn = jnp.asarray(data["pos_trn"])
+    neg_trn = jnp.asarray(data["neg_trn"])
+    pos_val = jnp.asarray(data["pos_val"])
+    neg_val = jnp.asarray(data["neg_val"])
+    n_feat = pos_trn.shape[1]
+
+    states = pj_init_batch(n_feat, s)
+    key = jax.random.PRNGKey(base.seed)
+    best_obj = jnp.full((s,), jnp.inf, jnp.float32)
+    best_w = jnp.zeros((s, n_feat, n_feat), jnp.float32)
+    best_a = jnp.zeros((s, n_feat, n_feat), jnp.float32)
+
+    validate_b = jax.jit(jax.vmap(pj_validate, in_axes=(None, None, 0, 0)))
+
+    @jax.jit
+    def track(obj, best_obj, w, a, best_w, best_a):
+        improved = obj < best_obj
+        return (jnp.where(improved, obj, best_obj),
+                jnp.where(improved[:, None, None], w, best_w),
+                jnp.where(improved[:, None, None], a, best_a))
+
+    n_logs = max(1, base.n_iter // base.log_step)
+    log = MetricLogger(jsonl_path=ws.path("pj-learn", "logging",
+                                          f"{run_label}-sweep.jsonl"))
+    t0 = time.perf_counter()
+    try:
+        for li in range(n_logs):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, s)
+            states = pj_train_chunk_batch(pos_trn, neg_trn, mus, gammas,
+                                          states, keys, batch=base.batch,
+                                          n_steps=base.log_step,
+                                          eigh_mode=base.eigh_mode,
+                                          subspace_steps=base.subspace_steps)
+            loss, regul, obj, rank = validate_b(pos_val, neg_val, mus, states)
+            best_obj, best_w, best_a = track(obj, best_obj, states.w,
+                                             states.a, best_w, best_a)
+            log.record(
+                "pj_sweep_step",
+                f"PJSweepStep: iter {int(states.t[0])} x {s} combos  "
+                f"medObj: {float(jnp.median(obj)):.6f}  "
+                f"t: {time.perf_counter() - t0:.1f}s",
+                t=int(states.t[0]), med_obj=float(jnp.median(obj)),
+            )
+        results = []
+        dists_full = jnp.asarray(data["dists"])
+        labels_full = jnp.asarray(data["labels"])
+        best_w_np = np.asarray(best_w)
+        best_a_np = np.asarray(best_a)
+        for si, (mu, gamma) in enumerate(combos):
+            w_np = best_w_np[si]
+            stats = compute_pj_stats(dists_full, labels_full, w_np)
+            out = ws.path("pj-learn", f"{run_label}-{mu}-{gamma}-pj.h5")
+            with ArtifactStore(out, "w") as st:
+                st.write("W", w_np[np.any(w_np != 0.0, axis=1)])
+                st.write("A", best_a_np[si])
+                st.set_meta("done_iters", f"{base.n_iter}")
+                st.set_meta("config", {"mu": mu, "gamma": gamma,
+                                       "sweep": True})
+                st.set_meta("best", {"auc": stats["auc"],
+                                     "fpr95": stats["fpr95"]})
+            results.append(dict(mu=mu, gamma=gamma, model=out,
+                                dim=stats["dim"], **{
+                                    "auc": stats["auc"],
+                                    "fpr95": stats["fpr95"]}))
+        results.sort(key=lambda r: r.get("fpr95", np.inf))
+        return results
+    finally:
+        log.close()

@@ -140,7 +140,9 @@ class Workspace:
                 p2 = jnp.asarray(patches[indices[s:e, 2]])
                 pt1 = batch_patch_transform(p1, self.desc_cfg)
                 pt2 = batch_patch_transform(p2, self.desc_cfg)
-                d = np.asarray(ring_distances(filters, pt1, pt2))
+                d = np.asarray(ring_distances(
+                    filters, pt1, pt2,
+                    precision=self.desc_cfg.precision))
                 if not np.all(np.isfinite(d)):
                     raise FloatingPointError(
                         f"Distance contains NaN/Inf in rows [{s}, {e})"
@@ -366,7 +368,8 @@ class Workspace:
                     jnp.asarray(patches[indices[s:e, 0]]), self.desc_cfg)
                 pt2 = batch_patch_transform(
                     jnp.asarray(patches[indices[s:e, 2]]), self.desc_cfg)
-                d = np.asarray(unprojected_diffs(sel_j, pt1, pt2))
+                d = np.asarray(unprojected_diffs(
+                    sel_j, pt1, pt2, precision=self.desc_cfg.precision))
                 if not np.all(np.isfinite(d)):
                     raise FloatingPointError(
                         f"unproj Distance NaN/Inf in rows [{s}, {e})"

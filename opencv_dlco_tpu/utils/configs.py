@@ -21,6 +21,20 @@ class DescriptorConfig:
     init_sigma: float = 1.4
     norm: bool = True
     norm_quantile: float = 0.8
+    # MXU precision for the pooling/distance matmuls: "highest" = true
+    # float32 (6-pass emulation, reference-numerics parity), "default" =
+    # bf16 multiplies with f32 accumulation (~3x faster stage-3; distance
+    # error ~1e-3 relative — see tests/test_precision.py before relying on
+    # it for FPR95-critical runs).
+    matmul_precision: str = "highest"
+
+    @property
+    def precision(self):
+        import jax
+
+        return (jax.lax.Precision.HIGHEST
+                if self.matmul_precision == "highest"
+                else jax.lax.Precision.DEFAULT)
 
     @property
     def n_pixels(self) -> int:

@@ -73,3 +73,33 @@ def test_sweep_entry_matches_single_run(ws):
                            batch=128, n_steps=10)
     np.testing.assert_allclose(np.asarray(single.w[0]),
                                np.asarray(multi.w[1]), rtol=1e-5, atol=1e-7)
+
+
+def test_pj_sweep_batched(ws):
+    """The vmapped PJ grid produces per-combo artifacts with stats."""
+    from opencv_dlco_tpu.parallel.sweep import run_pj_sweep
+    from opencv_dlco_tpu.pipeline.stages import Workspace
+    from opencv_dlco_tpu.utils.configs import (
+        PJLearnConfig,
+        PJSweepGrid,
+        PRLearnConfig,
+    )
+    from opencv_dlco_tpu.data.store import ArtifactStore
+
+    cfg = PRLearnConfig(mu=0.01, gamma=0.1, n_iter=4000, log_step=2000,
+                        batch=128, max_dim=10_000)
+    pr = ws.prlearn("sy", cfg)
+    unproj = ws.compunproj("sy", f"{pr}#-1")
+    grid = PJSweepGrid(mus=(0.001, 0.002), gammas=(0.25, 0.5))
+    base = PJLearnConfig(n_iter=40, log_step=20, batch=64)
+    results = run_pj_sweep(ws, unproj, grid, base)
+    assert len(results) == 4
+    for r in results:
+        assert 0 <= r["fpr95"] <= 1
+        with ArtifactStore(r["model"], "r") as st:
+            w = st.read("W")
+            assert w.shape[0] == r["dim"]
+            assert st.get_meta("best")["fpr95"] == r["fpr95"]
+    # sorted ascending by fpr95
+    fprs = [r["fpr95"] for r in results]
+    assert fprs == sorted(fprs)

@@ -148,6 +148,23 @@ def cmd_export(args):
     print(f"exported: {out}")
 
 
+def cmd_workflow(args):
+    from .utils.configs import PJLearnConfig, PRLearnConfig
+
+    ws = _ws(args)
+    out = ws.run_full(
+        args.datasets.split(","),
+        pr_cfg=PRLearnConfig(n_iter=args.pr_iters, log_step=args.pr_log_step,
+                             batch=args.batch, max_dim=args.max_dim),
+        pj_cfg=PJLearnConfig(n_iter=args.pj_iters,
+                             log_step=args.pj_log_step),
+    )
+    print(json.dumps({
+        "best_pr": out["best_pr"],
+        "exports": out["exports"],
+    }, indent=2, default=str))
+
+
 def cmd_bench(args):
     from . import bench as bench_mod
 
@@ -264,6 +281,18 @@ def main(argv=None):
     sp.add_argument("--pj", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("workflow", help="full stages 2-11 with automatic "
+                                         "model selection")
+    common(sp)
+    sp.add_argument("--datasets", required=True)
+    sp.add_argument("--pr-iters", type=int, default=50_000_000)
+    sp.add_argument("--pr-log-step", type=int, default=1_000_000)
+    sp.add_argument("--pj-iters", type=int, default=50_000)
+    sp.add_argument("--pj-log-step", type=int, default=100)
+    sp.add_argument("--batch", type=int, default=4096)
+    sp.add_argument("--max-dim", type=int, default=640)
+    sp.set_defaults(fn=cmd_workflow)
 
     sp = sub.add_parser("bench", help="run benchmark suite")
     common(sp, workspace=False)

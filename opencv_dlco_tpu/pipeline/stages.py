@@ -493,3 +493,61 @@ class Workspace:
 
         return export_opencv(self.genpr(), pr_ref, pj_path,
                              self.path("opencv", out_name))
+
+    # -- the whole workflow in one call ------------------------------------
+
+    def run_full(self, datasets: Sequence[str],
+                 pr_cfg: Optional["PRLearnConfig"] = None,
+                 pj_cfg: Optional[PJLearnConfig] = None,
+                 pr_grid=None, pj_grid=None,
+                 export_dims: Sequence[int] = (48, 64, 80, 120)) -> dict:
+        """Stages 2-11 end-to-end with automatic model selection.
+
+        Replaces the reference's 11-script chain *including* the by-hand
+        winner pick (workspace/README.md:25-27): PR sweep per dataset ->
+        cross-dataset ranking -> unprojected diffs for the winner -> PJ
+        sweep -> per-dim-cap export. Datasets must already be converted
+        (stage 1 needs the raw patch directories).
+        """
+        from ..parallel.sweep import run_pj_sweep, run_pr_sweep
+        from ..utils.configs import PJSweepGrid, PRSweepGrid
+
+        pr_cfg = pr_cfg or PRLearnConfig()
+        pj_cfg = pj_cfg or PJLearnConfig()
+        pr_grid = pr_grid or PRSweepGrid()
+        pj_grid = pj_grid or PJSweepGrid()
+
+        self.genpr()
+        dist_paths = {ds: self.compdist(ds) for ds in datasets}
+
+        models = []
+        for ds in datasets:
+            run_pr_sweep(self, ds, pr_grid, pr_cfg)
+            models.extend(
+                sorted(set(
+                    os.path.join(self.root, "pr-learn", f)
+                    for f in os.listdir(os.path.join(self.root, "pr-learn"))
+                    if f.startswith(f"{ds}-") and f.endswith("-pr.h5"))))
+        records = self.prstats(models, dist_paths,
+                               jsonl_path=self.path("pr-select.jsonl"))
+        ranked = self.pr_rank(records)
+        if not ranked:
+            raise RuntimeError("no PR model ranked on all datasets")
+        best_pr = ranked[0]
+        pr_ref = f"{best_pr['model']}#{best_pr['row']}"
+
+        pj_models = []
+        for ds in datasets:
+            unproj = self.compunproj(ds, pr_ref)
+            pj_models.extend(run_pj_sweep(self, unproj, pj_grid, pj_cfg))
+
+        exports = {}
+        for dim in export_dims:
+            fitting = [m for m in pj_models if 0 < m["dim"] <= dim]
+            if not fitting:
+                continue
+            winner = min(fitting, key=lambda m: m.get("fpr95", np.inf))
+            exports[dim] = self.export(
+                pr_ref, winner["model"], f"vgg_generated_{dim}.i")
+        return dict(best_pr=best_pr, pr_ref=pr_ref, pj_models=pj_models,
+                    exports=exports)

@@ -56,13 +56,34 @@ class BAResult(NamedTuple):
     cost_history: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+def huber_weights(res: jax.Array, delta: float) -> jax.Array:
+    """IRLS weights of the Huber loss: (N, R) residuals -> (N,) weights.
+
+    w = 1 inside |r| <= delta, delta/|r| outside. Note Huber's linear branch
+    keeps a constant-magnitude gradient, so gross outliers retain bounded
+    but non-vanishing pull — prefer cauchy_weights for BA.
+    """
+    norm = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-12)
+    return jnp.minimum(1.0, delta / norm)
+
+
+def cauchy_weights(res: jax.Array, scale: float) -> jax.Array:
+    """IRLS weights of the Cauchy (Lorentzian) loss: redescending — gross
+    outliers get weight ~ (scale/|r|)^2 -> ~0 influence, eliminating the
+    pose bias Huber leaves behind."""
+    sq = jnp.sum(res * res, axis=-1)
+    return 1.0 / (1.0 + sq / (scale * scale))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "robust_delta"))
 def two_view_ba(r0, t0, points0, obs1, obs2, weights=None, *,
-                n_iters: int = 12, init_lambda: float = 1e-3) -> BAResult:
+                n_iters: int = 12, init_lambda: float = 1e-3,
+                robust_delta: float = 0.0) -> BAResult:
     """Jointly refine (R, t) and landmarks; returns the LM trajectory.
 
     weights: (N,) per-landmark weights (0 masks outliers out of the normal
-    equations with static shapes).
+    equations with static shapes). robust_delta > 0 additionally applies
+    Cauchy IRLS reweighting per iteration (normalized-coordinate scale).
     """
     n = points0.shape[0]
     if weights is None:
@@ -74,6 +95,11 @@ def two_view_ba(r0, t0, points0, obs1, obs2, weights=None, *,
         res = jax.vmap(
             lambda x, o1, o2: _point_residual(zero, x, r, t, o1, o2)
         )(points, obs1, obs2)                                    # (N, 4)
+        if robust_delta > 0.0:
+            rw = cauchy_weights(res, robust_delta)
+            w4_eff = w4 * rw[:, None]
+        else:
+            w4_eff = w4
         jc = jax.vmap(
             lambda x, o1, o2: jax.jacfwd(_point_residual, 0)(
                 zero, x, r, t, o1, o2)
@@ -82,9 +108,9 @@ def two_view_ba(r0, t0, points0, obs1, obs2, weights=None, *,
             lambda x, o1, o2: jax.jacfwd(_point_residual, 1)(
                 zero, x, r, t, o1, o2)
         )(points, obs1, obs2)                                    # (N, 4, 3)
-        res_w = res * w4
-        jc_w = jc * w4[..., None]
-        jp_w = jp * w4[..., None]
+        res_w = res * w4_eff
+        jc_w = jc * w4_eff[..., None]
+        jp_w = jp * w4_eff[..., None]
         hcc = jnp.einsum("nri,nrj->ij", jc_w, jc, precision=_HIGHEST)
         hpp = jnp.einsum("nri,nrj->nij", jp_w, jp, precision=_HIGHEST)
         hcp = jnp.einsum("nri,nrj->nij", jc_w, jp, precision=_HIGHEST)
@@ -109,6 +135,9 @@ def two_view_ba(r0, t0, points0, obs1, obs2, weights=None, *,
 
     def cost_at(r, t, points):
         res = reprojection_residuals(r, t, points, obs1, obs2)
+        if robust_delta > 0.0:
+            rw = cauchy_weights(res, robust_delta)
+            return jnp.sum(res * res * w4 * rw[:, None])
         return jnp.sum(res * res * w4)
 
     def step(carry, _):

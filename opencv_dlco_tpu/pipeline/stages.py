@@ -471,6 +471,58 @@ class Workspace:
 
     # -- stage 9/10: PJ model selection -----------------------------------
 
+    def pjstats(self, model_paths: Sequence[str],
+                unproj_paths: Dict[str, str],
+                jsonl_path: Optional[str] = None) -> List[dict]:
+        """Cross-evaluate every PJ model on every dataset's unprojected
+        diff matrix (the evaluation 09-pjstats.sh only approximates by
+        scraping per-run train logs; this is the real train-on-A/test-on-B
+        pass, mirroring prstats)."""
+        records = []
+        with MetricLogger(jsonl_path=jsonl_path) as log:
+            for ds, upath in unproj_paths.items():
+                with ArtifactStore(upath, "r") as st:
+                    labels = st.read("Label").reshape(-1)
+                    diffs = st.read("Distance")
+                diffs_j = jnp.asarray(diffs)
+                labels_j = jnp.asarray(labels)
+                for mpath in model_paths:
+                    with ArtifactStore(mpath, "r") as st:
+                        w_proj = st.read("W")
+                    if w_proj.shape[1] != diffs.shape[1]:
+                        continue  # different PR selection; not comparable
+                    stats = compute_pj_stats(diffs_j, labels_j, w_proj)
+                    rec = dict(model=mpath, dataset=ds, **stats)
+                    records.append(rec)
+                    log.model_stat(model=mpath, row=0, dataset=ds,
+                                   dim=stats["dim"], fpr95=stats["fpr95"],
+                                   auc=stats["auc"])
+        return records
+
+    @staticmethod
+    def pj_rank_cross(records: List[dict], max_dim: int,
+                      top_k: int = 10) -> List[dict]:
+        """Rank PJ models by mean FPR95 across datasets under a dim cap
+        (the programmatic replacement of 10-pj-top.sh)."""
+        datasets = sorted({r["dataset"] for r in records})
+        by_model: Dict[str, Dict[str, dict]] = {}
+        for r in records:
+            by_model.setdefault(r["model"], {})[r["dataset"]] = r
+        ranked = []
+        for model, per_ds in by_model.items():
+            if set(per_ds) != set(datasets):
+                continue
+            if any(p["dim"] > max_dim or p["dim"] == 0
+                   for p in per_ds.values()):
+                continue
+            fprs = [per_ds[d]["fpr95"] for d in datasets]
+            ranked.append(dict(
+                model=model, mean_fpr95=float(np.mean(fprs)),
+                per_dataset={d: per_ds[d]["fpr95"] for d in datasets},
+                dim=max(p["dim"] for p in per_ds.values())))
+        ranked.sort(key=lambda r: r["mean_fpr95"])
+        return ranked[:top_k]
+
     @staticmethod
     def pj_rank(model_paths: Sequence[str], max_dim: int,
                 top_k: int = 10) -> List[dict]:

@@ -213,3 +213,24 @@ def test_pose_graph_closes_loop():
     assert costs[-1] < costs[0] * 0.1
     drift1 = np.linalg.norm(np.asarray(out.t) - ts_gt, axis=1).mean()
     assert drift1 < drift0 * 0.5, f"ATE {drift0:.3f} -> {drift1:.3f}"
+
+
+def test_two_view_ba_robust_downweights_outliers(rng):
+    """Cauchy IRLS must recover the pose without explicit outlier masks
+    (Huber's linear branch leaves a pose bias; the redescending kernel
+    eliminates outlier influence)."""
+    pts, r, t, p1, p2 = _two_view_scene(rng, n=120, noise=1e-4)
+    p2_bad = p2.copy()
+    p2_bad[:12] += 0.2  # unmasked gross outliers
+    res = two_view_ba(jnp.asarray(r.astype(np.float32)),
+                      jnp.asarray(t.astype(np.float32)),
+                      jnp.asarray(pts.astype(np.float32)),
+                      jnp.asarray(p1), jnp.asarray(p2_bad),
+                      n_iters=20, robust_delta=0.005)
+    final = np.asarray(reprojection_residuals(
+        res.r, res.t, res.points, jnp.asarray(p1), jnp.asarray(p2_bad)))
+    rms_in = np.sqrt((final[12:] ** 2).mean())
+    assert rms_in < 5e-4, f"inlier rms {rms_in:.2e}"
+    dr = np.asarray(res.r) @ r.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+    assert ang < 0.5

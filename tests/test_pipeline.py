@@ -124,3 +124,21 @@ def test_stage7_to_11_pj_and_export(ws):
     assert mats["PJ"].shape == w_proj.shape
     sel_rows = mats["PR"].shape[0]
     assert mats["PJ"].shape[1] == sel_rows * 8
+
+
+def test_pjstats_cross_eval(ws):
+    """PJ cross-dataset stats + ranking (stage 9/10 full evaluation)."""
+    from opencv_dlco_tpu.utils.configs import PJLearnConfig, PRLearnConfig
+
+    cfg = PRLearnConfig(mu=0.01, gamma=0.1, n_iter=6000, log_step=2000,
+                        batch=128, max_dim=10_000)
+    pr_path = ws.prlearn("synth", cfg)
+    unproj = ws.compunproj("synth", f"{pr_path}#-1")
+    pj_cfg = PJLearnConfig(mu=0.001, gamma=0.5, n_iter=60, log_step=20,
+                           batch=64)
+    pj_path = ws.pjlearn(unproj, pj_cfg)
+    records = ws.pjstats([pj_path], {"synth": unproj})
+    assert len(records) == 1
+    assert 0 <= records[0]["fpr95"] <= 1
+    ranked = ws.pj_rank_cross(records, max_dim=10_000)
+    assert ranked and ranked[0]["model"] == pj_path

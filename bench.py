@@ -3,7 +3,7 @@
 
 Runs on whatever backend JAX selects (the real TPU chip under the driver).
 Details for every suite land in bench_details.json; set DLCO_BENCH_SUITE to
-run a subset (all|pr|sweep|hinge|stage3|pj).
+run a subset (all|pr|sweep|hinge|stage3|pj|brown).
 """
 
 import os

@@ -178,6 +178,81 @@ def bench_stage3(n_pairs=512, pool_cfg=None):
                 n_filters=int(f.shape[0]))
 
 
+def bench_brown_scale(n_feat=5120, n_pos_trn=200_000, n_neg_trn=200_000,
+                      n_pos_val=50_000, n_neg_val=50_000,
+                      batch=4096, steps=24):
+    """Full-Brown-shape residency proof on one chip (VERDICT r1 weak #1).
+
+    Materialises the REAL training residency plan — 200k+200k train rows
+    (8.2 GiB) + 50k+50k val rows (2 GiB), the split sizes of a 500k-pair
+    Brown dataset at train_frac=0.8 — directly in HBM, then runs one
+    training chunk (~100k samples), one validation (2 GEMMs + 50k x 50k
+    hinge) and one full-dataset stats pass (split GEMVs + 500k-point ROC),
+    i.e. every device-side step of Workspace.prlearn at full scale. The
+    full 10.2 GiB distance matrix never touches the device (stats come
+    from the resident splits; models/select.compute_pr_stats_splits).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pr_rda import pr_init, pr_train_chunk, pr_validate
+    from .models.select import _pr_split_distances, _split_roc
+    from .utils.memory import check_device_budget, device_hbm_bytes
+
+    plan = {"pos_trn": n_pos_trn * n_feat * 4,
+            "neg_trn": n_neg_trn * n_feat * 4,
+            "pos_val": n_pos_val * n_feat * 4,
+            "neg_val": n_neg_val * n_feat * 4}
+    total = check_device_budget(plan, "bench_brown_scale")
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    gen = jax.jit(
+        lambda k, n, m, s: jnp.abs(m + s * jax.random.normal(
+            k, (n, n_feat), jnp.float32)),
+        static_argnames=("n",))
+    pos_trn = gen(ks[0], n_pos_trn, 1.0, 0.5)
+    neg_trn = gen(ks[1], n_neg_trn, 1.2, 0.5)
+    pos_val = gen(ks[2], n_pos_val, 1.0, 0.5)
+    neg_val = gen(ks[3], n_neg_val, 1.2, 0.5)
+    _fetch(neg_val)
+
+    mu = jnp.asarray([0.025], jnp.float32)
+    gamma = jnp.asarray([0.1], jnp.float32)
+    state = pr_init(n_feat, 1)
+
+    t_chunk = _timeit(lambda: pr_train_chunk(
+        pos_trn, neg_trn, mu, gamma, state, key,
+        batch=batch, n_steps=steps, sampling="block"), warmup=1, iters=2)
+    state2 = pr_train_chunk(pos_trn, neg_trn, mu, gamma, state, key,
+                            batch=batch, n_steps=steps, sampling="block")
+    t_val = _timeit(lambda: pr_validate(pos_val, neg_val, mu, state2),
+                    warmup=1, iters=2)
+
+    def stats_pass():
+        ds = _pr_split_distances(state2.w[0], pos_trn, neg_trn,
+                                 pos_val, neg_val)
+        return _split_roc(*ds)
+
+    t_stats = _timeit(stats_pass, warmup=1, iters=2)
+
+    mem = {}
+    try:
+        mem = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        pass
+    return dict(
+        resident_gib=total / 1024**3,
+        hbm_gib=device_hbm_bytes() / 1024**3,
+        peak_bytes_in_use=mem.get("peak_bytes_in_use"),
+        chunk_time=t_chunk,
+        samples_per_sec=batch * steps / t_chunk,
+        validate_time=t_val,
+        stats_pass_time=t_stats,
+        vs_baseline=(batch * steps / t_chunk) / BASELINE_PR_SAMPLES_PER_SEC,
+    )
+
+
 def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
     """PJ-RDA iteration rate (eigh-dominated; vs reference's 13 it/s)."""
     import jax
@@ -189,16 +264,19 @@ def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
     kp, kn = jax.random.split(key)
     pos = 0.3 * jax.random.normal(kp, (n_rows, n_feat), jnp.float32)
     neg = 1.0 * jax.random.normal(kn, (n_rows, n_feat), jnp.float32)
-    state = pj_init(n_feat)
     out = {}
-    for mode in ("exact", "subspace"):
+    for label, mode, cap in (("exact", "exact", None),
+                             ("subspace", "subspace", None),
+                             ("rank_cap192", "subspace", 192),
+                             ("rank_cap128", "subspace", 128)):
+        state = pj_init(n_feat, cap)
         dt = _timeit(
-            lambda m=mode: pj_train_chunk(pos, neg, 0.001, 0.5, state, key,
-                                          batch=batch, n_steps=steps,
-                                          eigh_mode=m),
+            lambda m=mode, st=state: pj_train_chunk(
+                pos, neg, 0.001, 0.5, st, key,
+                batch=batch, n_steps=steps, eigh_mode=m),
             warmup=1, iters=3)
-        out[f"{mode}_iters_per_sec"] = steps / dt
-        out[f"{mode}_vs_baseline"] = (steps / dt) / BASELINE_PJ_ITERS_PER_SEC
+        out[f"{label}_iters_per_sec"] = steps / dt
+        out[f"{label}_vs_baseline"] = (steps / dt) / BASELINE_PJ_ITERS_PER_SEC
     return out
 
 
@@ -222,6 +300,8 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["stage3"] = bench_stage3()
     if suite in ("all", "pj"):
         details["pj_rda"] = bench_pj_rda()
+    if suite in ("all", "brown"):
+        details["brown_scale"] = bench_brown_scale()
     details["total_bench_time"] = time.time() - t0
 
     with open(out_path, "w") as f:

@@ -125,6 +125,21 @@ class ArtifactStore:
         self._f.flush()
         return n
 
+    def truncate_rows(self, name: str, n_rows: int) -> None:
+        """Shrink an unlimited dataset to its first n_rows.
+
+        Resume safety: a crash between an append and the next sweep
+        checkpoint leaves rows the checkpoint doesn't know about; the
+        resuming run trims to the checkpointed count so the replayed
+        appends don't duplicate.
+        """
+        if name not in self._f:
+            return
+        ds = self._f[name]
+        if ds.shape[0] > n_rows:
+            ds.resize(n_rows, axis=0)
+            self._f.flush()
+
     # -- metadata ---------------------------------------------------------
 
     def set_meta(self, key: str, value) -> None:

@@ -29,6 +29,17 @@ of its ~75 ms step in ssyevr, BASELINE.md). Two modes:
   O(1/t) per step, so a few QR-polished power steps from the previous
   eigenbasis track the spectrum at a fraction of the cost. Validated
   against "exact" in tests; gate via PJLearnConfig.eigh_mode.
+
+Low-rank tracking (the TPU-native close of the eigh bottleneck): only the
+POSITIVE eigenpairs of A matter — negative directions are clamped to zero
+rows of W and contribute nothing downstream — and the trace-norm
+regulariser collapses the rank far below F (the shipped reference models
+have 49-168 nonzero rows out of 480-544). With ``rank_cap=K``, subspace
+mode tracks an F x K basis instead of F x F: the O(F^3) sequential-heavy
+eigh becomes O(F^2 K) MXU matmuls + a K x K eigh. W becomes (K, F);
+every consumer already counts nonzero rows, so the static-shape contract
+is unchanged. Guarded end-to-end (full-iteration-count run, exact vs
+capped: final rank + FPR95 agree) in tests/test_pj_rda.py.
 """
 
 from __future__ import annotations
@@ -45,19 +56,22 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 class PJState(NamedTuple):
-    w: jax.Array        # (F, F) projection, zero rows where rank deficient
+    w: jax.Array        # (K, F) projection, zero rows where rank deficient
     a: jax.Array        # (F, F) PSD metric A = W^T W (post-projection)
     df_avg: jax.Array   # (F, F) running subgradient average
-    basis: jax.Array    # (F, F) eigenbasis estimate (subspace mode warm start)
+    basis: jax.Array    # (F, K) eigenbasis estimate (subspace warm start)
     t: jax.Array        # ()     iteration counter (int32)
 
 
-def pj_init(n_feat: int) -> PJState:
+def pj_init(n_feat: int, rank_cap: int | None = None) -> PJState:
+    """rank_cap=K < F enables low-rank spectrum tracking (subspace mode
+    only): W is (K, F) and the basis F x K."""
+    k = n_feat if rank_cap is None else min(rank_cap, n_feat)
     return PJState(
-        w=jnp.zeros((n_feat, n_feat), jnp.float32),
+        w=jnp.zeros((k, n_feat), jnp.float32),
         a=jnp.zeros((n_feat, n_feat), jnp.float32),
         df_avg=jnp.zeros((n_feat, n_feat), jnp.float32),
-        basis=jnp.eye(n_feat, dtype=jnp.float32),
+        basis=jnp.eye(n_feat, k, dtype=jnp.float32),
         t=jnp.zeros((), jnp.int32),
     )
 
@@ -147,6 +161,9 @@ def pj_train_chunk(pos_trn, neg_trn, mu, gamma, state: PJState, key,
                    subspace_steps: int = 4) -> PJState:
     """Run n_steps PJ RDA iterations."""
     if eigh_mode == "exact":
+        if state.basis.shape[1] != state.basis.shape[0]:
+            raise ValueError(
+                "rank_cap (truncated basis) requires eigh_mode='subspace'")
         eigh_fn = _eigh_exact
     elif eigh_mode == "subspace":
         eigh_fn = functools.partial(_eigh_subspace, n_steps=subspace_steps)
@@ -163,9 +180,10 @@ def pj_train_chunk(pos_trn, neg_trn, mu, gamma, state: PJState, key,
     return state
 
 
-def pj_init_batch(n_feat: int, n_sweep: int) -> PJState:
+def pj_init_batch(n_feat: int, n_sweep: int,
+                  rank_cap: int | None = None) -> PJState:
     """Stacked states for a vmapped sweep: every field gains a leading S."""
-    one = pj_init(n_feat)
+    one = pj_init(n_feat, rank_cap)
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_sweep,) + x.shape).copy(), one)
 
@@ -223,12 +241,12 @@ def pj_train(pos_trn, neg_trn, pos_val, neg_val, cfg, *,
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     n_feat = pos_trn.shape[1]
-    state = pj_init(n_feat)
+    state = pj_init(n_feat, getattr(cfg, "rank_cap", None))
     mu = jnp.float32(cfg.mu)
 
     n_logs = max(1, cfg.n_iter // cfg.log_step)
     obj_best = np.inf
-    w_best = np.zeros((n_feat, n_feat), np.float32)
+    w_best = np.zeros(state.w.shape, np.float32)
     history = []
     for li in range(n_logs):
         key, sub = jax.random.split(key)

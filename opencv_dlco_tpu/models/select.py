@@ -111,6 +111,110 @@ def compute_pr_stats(params: np.ndarray, dists, labels, w,
     return out
 
 
+@jax.jit
+def _pr_split_distances(w, pos_trn, neg_trn, pos_val, neg_val):
+    w = w.reshape(-1)
+    return (jnp.matmul(pos_trn, w, precision=_HIGHEST),
+            jnp.matmul(neg_trn, w, precision=_HIGHEST),
+            jnp.matmul(pos_val, w, precision=_HIGHEST),
+            jnp.matmul(neg_val, w, precision=_HIGHEST))
+
+
+@jax.jit
+def _split_roc(pos_d_trn, neg_d_trn, pos_d_val, neg_d_val):
+    pd = jnp.concatenate([pos_d_trn, pos_d_val, neg_d_trn, neg_d_val])
+    n_pos = pos_d_trn.shape[0] + pos_d_val.shape[0]
+    labels = jnp.concatenate([
+        jnp.ones((n_pos,), jnp.int32),
+        jnp.zeros((pd.shape[0] - n_pos,), jnp.int32)])
+    return roc_stats(pd, labels)
+
+
+def compute_pr_stats_splits(params, splits, w, n_channels: int = 8,
+                            max_dim: int = -1):
+    """Full-dataset PR stats computed from the resident train/val splits.
+
+    The full 500k x 5120 distance matrix is exactly the union of the four
+    split arrays, and the ROC sweep is row-order invariant, so evaluating
+    the splits in place gives the reference's full-dataset statistics
+    (src/misc.cpp:171-264) with ZERO extra HBM — the full matrix never
+    touches the device (it would not fit next to the training residency on
+    a 16 GB v5e; cf. the reference keeping it host-side,
+    src/pr-learn.cpp:194-225).
+
+    ``splits`` maps {pos_trn, neg_trn, pos_val, neg_val} to device arrays.
+    """
+    n_pr, dim, nz_dim = selected_pr_geometry(params, w, n_channels=n_channels)
+    out = {"n_pr": n_pr, "dim": dim, "nz_dim": nz_dim,
+           "fpr95": None, "auc": None}
+    if max_dim != -1 and dim > max_dim:
+        return out
+    ds = _pr_split_distances(jnp.asarray(w, jnp.float32),
+                             splits["pos_trn"], splits["neg_trn"],
+                             splits["pos_val"], splits["neg_val"])
+    fpr95, auc = _split_roc(*ds)
+    out["fpr95"] = float(fpr95)
+    out["auc"] = float(auc)
+    return out
+
+
+@jax.jit
+def _pj_split_distances(w_proj, pos_trn, neg_trn, pos_val, neg_val):
+    return tuple(
+        jnp.sum(jnp.square(jnp.matmul(d, w_proj.T, precision=_HIGHEST)),
+                axis=1)
+        for d in (pos_trn, neg_trn, pos_val, neg_val))
+
+
+def compute_pj_stats_splits(splits, w_proj):
+    """Full-dataset PJ stats from the resident splits (see PR variant)."""
+    w_np = np.asarray(w_proj)
+    dim = int(np.sum(np.any(w_np != 0.0, axis=1)))
+    ds = _pj_split_distances(jnp.asarray(w_proj, jnp.float32),
+                             splits["pos_trn"], splits["neg_trn"],
+                             splits["pos_val"], splits["neg_val"])
+    fpr95, auc = _split_roc(*ds)
+    return {"dim": dim, "fpr95": float(fpr95), "auc": float(auc)}
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pr_rows_roc(dists, labels, w_rows):
+    """(fpr95, auc) for a block of model rows in one GEMM + vmapped ROC.
+
+    dists (N, F) resident once per dataset; w_rows (R, F). The reference
+    re-runs a full GEMM + scalar ROC sweep per row (src/pr-stats.cpp:221);
+    here R rows share one MXU GEMM and R argsorts run as one batched sort.
+    """
+    pd = jnp.matmul(dists, w_rows.T, precision=_HIGHEST)      # (N, R)
+    return jax.vmap(roc_stats, in_axes=(1, None))(pd, labels)
+
+
+def compute_pr_stats_rows(params, dists, labels, hist,
+                          n_channels: int = 8, max_dim: int = -1,
+                          row_block: int = 64):
+    """Stats for every row of a model history (vmapped pr-stats inner loop).
+
+    Returns a list of dicts in row order, same fields as compute_pr_stats.
+    """
+    hist = np.asarray(hist)
+    out = []
+    for row in range(hist.shape[0]):
+        n_pr, dim, nz_dim = selected_pr_geometry(
+            params, hist[row], n_channels=n_channels)
+        out.append({"n_pr": n_pr, "dim": dim, "nz_dim": nz_dim,
+                    "fpr95": None, "auc": None})
+    eval_rows = [r for r, o in enumerate(out)
+                 if max_dim == -1 or o["dim"] <= max_dim]
+    for s in range(0, len(eval_rows), row_block):
+        block = eval_rows[s:s + row_block]
+        fpr95, auc = _pr_rows_roc(
+            dists, labels, jnp.asarray(hist[block], jnp.float32))
+        for j, r in enumerate(block):
+            out[r]["fpr95"] = float(fpr95[j])
+            out[r]["auc"] = float(auc[j])
+    return out
+
+
 def compute_pj_stats(diffs, labels, w_proj):
     """Full-dataset PJ model stats (reference: src/misc.cpp:266-333).
 

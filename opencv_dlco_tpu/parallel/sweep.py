@@ -12,6 +12,12 @@ Validation is vmapped over S (one sort per entry); per-entry best iterates
 are tracked on-device and appended to the per-run artifact history exactly
 like single runs, so downstream stages (prstats, compunproj) see the same
 files the reference layout has.
+
+Both sweeps checkpoint their stacked solver state + per-combo append
+positions into a sidecar `*-sweep-ckpt.h5` every log period and resume
+from it bit-identically — the whole-grid analogue of the reference's
+per-run log-grep resume (04-prlearn.sh:17-22, 08-pjlearn.sh:18-21): an
+interrupted grid loses at most one log period, not the whole sweep.
 """
 
 from __future__ import annotations
@@ -26,9 +32,17 @@ import jax
 import jax.numpy as jnp
 
 from ..data.store import ArtifactStore
-from ..models.pr_rda import pr_init, pr_train_chunk, pr_validate
+from ..models.pr_rda import PRState, pr_init, pr_train_chunk, pr_validate
 from ..models.pj_rda import pj_validate
-from ..models.select import compute_pj_stats, selected_pr_geometry
+from ..models.select import (
+    compute_pj_stats_splits,
+    selected_pr_geometry,
+)
+from ..utils.checkpoint import (
+    RunInterrupted,
+    load_solver_state,
+    save_solver_state,
+)
 from ..utils.configs import (
     PJLearnConfig,
     PJSweepGrid,
@@ -36,7 +50,10 @@ from ..utils.configs import (
     PRSweepGrid,
 )
 from ..utils.logs import MetricLogger
+from ..utils.memory import check_device_budget, nbytes
 
+
+SweepInterrupted = RunInterrupted
 
 @jax.jit
 def _track_best(obj, best_obj, w, best_w):
@@ -47,13 +64,36 @@ def _track_best(obj, best_obj, w, best_w):
     return improved, best_obj, best_w
 
 
+def _check_finite(obj, what, t):
+    """Crash-fast on a diverged sweep entry (feenableexcept's role,
+    src/pr-learn.cpp:57): a non-finite objective means that entry's
+    iterate is poisoned and every later artifact append would be junk."""
+    bad = np.flatnonzero(~np.isfinite(np.asarray(obj)))
+    if bad.size:
+        raise FloatingPointError(
+            f"{what}: non-finite objective for sweep entries {bad.tolist()} "
+            f"at t={t}")
+
+
+def _sweep_signature(combos, base, n_feat, extra=None):
+    return {
+        "combos": [list(c) for c in combos],
+        "n_iter": base.n_iter, "batch": base.batch,
+        "log_step": base.log_step, "seed": base.seed,
+        "train_frac": base.train_frac, "n_feat": int(n_feat),
+        **(extra or {}),
+    }
+
+
 def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
-                 dist_path: Optional[str] = None) -> List[dict]:
+                 dist_path: Optional[str] = None,
+                 _stop_after_logs: Optional[int] = None) -> List[dict]:
     """Train the full (mu, gamma) grid for one dataset in a single program.
 
     Writes one pr-learn/{ds}-{mu}-{gamma}-pr.h5 per combo (best-w history,
     same layout as Workspace.prlearn) and returns per-combo summaries
-    sorted by final validation objective.
+    sorted by final validation objective. Interruptions resume from the
+    sidecar checkpoint with identical final artifacts.
     """
     combos = grid.combos()
     s = len(combos)
@@ -63,35 +103,66 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
     data = ws._load_split(
         dist_path or ws.path("distances", f"{ds}-dist.h5"),
         base.train_frac, base.seed)
+    check_device_budget(
+        {k: nbytes(v) for k, v in data.items()}, f"pr_sweep[{ds}]")
     pos_trn = jnp.asarray(data["pos_trn"])
     neg_trn = jnp.asarray(data["neg_trn"])
     pos_val = jnp.asarray(data["pos_val"])
     neg_val = jnp.asarray(data["neg_val"])
+    del data
     params = ws.load_pr_params()
 
     n_feat = pos_trn.shape[1]
-    state = pr_init(n_feat, s)
-    key = jax.random.PRNGKey(base.seed)
-    best_obj = jnp.full((s,), jnp.inf, jnp.float32)
-    best_w = jnp.zeros((s, n_feat), jnp.float32)
-
     steps_per_log = max(1, base.log_step // base.batch)
     n_logs = max(1, base.n_iter // (steps_per_log * base.batch))
+    signature = _sweep_signature(combos, base, n_feat,
+                                 {"sampling": base.sampling})
+
+    ckpt_path = ws.path("pr-learn", f"{ds}-sweep-ckpt.h5")
+    done_logs = 0
+    resume = None
+    if os.path.exists(ckpt_path):
+        with ArtifactStore(ckpt_path, "r") as ck:
+            if ck.get_meta("signature") == signature:
+                resume = load_solver_state(ck, PRState)
+                meta = ck.get_meta("solver_state_meta") or {}
+                done_logs = int(meta.get("completed_logs", 0))
+                best_obj = jnp.asarray(ck.read("best_obj"))
+                best_w = jnp.asarray(ck.read("best_w"))
+                row_counts = ck.read("row_counts")
+        if resume is None:
+            os.remove(ckpt_path)
+
+    if resume is not None:
+        state, key = resume
+    else:
+        state = pr_init(n_feat, s)
+        key = jax.random.PRNGKey(base.seed)
+        best_obj = jnp.full((s,), jnp.inf, jnp.float32)
+        best_w = jnp.zeros((s, n_feat), jnp.float32)
+        row_counts = np.zeros((s,), np.int64)
 
     log = MetricLogger(jsonl_path=ws.path("pr-learn", "logging",
                                           f"{ds}-sweep.jsonl"))
     stores = {}
     try:
-        for c in combos:
+        for si, c in enumerate(combos):
             run = f"{ds}-{c[0]}-{c[1]}-pr"
-            stores[c] = ArtifactStore(ws.path("pr-learn", f"{run}.h5"), "w")
+            path = ws.path("pr-learn", f"{run}.h5")
+            if resume is None and os.path.exists(path):
+                os.remove(path)
+            stores[c] = ArtifactStore(path, "a")
+            if resume is not None:
+                # drop any rows appended after the checkpoint was taken
+                stores[c].truncate_rows("w", int(row_counts[si]))
         t0 = time.perf_counter()
-        for li in range(n_logs):
+        for li in range(done_logs, n_logs):
             key, sub = jax.random.split(key)
             state = pr_train_chunk(pos_trn, neg_trn, mus, gammas, state, sub,
                                    batch=base.batch, n_steps=steps_per_log,
                                    sampling=base.sampling)
             loss, regul, obj, nnz = pr_validate(pos_val, neg_val, mus, state)
+            _check_finite(obj, f"pr_sweep[{ds}]", int(state.t))
             improved, best_obj, best_w = _track_best(obj, best_obj,
                                                      state.w, best_w)
             imp_idx = np.flatnonzero(np.asarray(improved))
@@ -102,6 +173,7 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                 _, dim, _ = selected_pr_geometry(params, w_np)
                 if dim <= base.max_dim:
                     stores[c].append_row("w", w_np)
+                    row_counts[si] += 1
             log.record(
                 "pr_sweep_step",
                 f"SweepStep: {int(state.t)} samples x {s} combos  "
@@ -111,9 +183,20 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                 t=int(state.t), improved=int(imp_idx.size),
                 med_obj=float(jnp.median(obj)),
             )
+            with ArtifactStore(ckpt_path, "a") as ck:
+                save_solver_state(ck, state, key,
+                                  extra={"completed_logs": li + 1},
+                                  compression=0)
+                ck.write("best_obj", np.asarray(best_obj), compression=0)
+                ck.write("best_w", np.asarray(best_w), compression=0)
+                ck.write("row_counts", row_counts, compression=0)
+                ck.set_meta("signature", signature)
+            if _stop_after_logs is not None and li + 1 >= _stop_after_logs:
+                raise SweepInterrupted(f"stopped after log {li + 1}")
         results = []
         obj_np = np.asarray(best_obj)
-        nnz_np = np.asarray(nnz)
+        nnz_np = np.asarray(nnz) if done_logs < n_logs else \
+            np.asarray(jnp.sum(best_w > 0.0, axis=1))
         for si, c in enumerate(combos):
             stores[c].set_meta("done_iters", f"{base.n_iter}")
             stores[c].set_meta("config", {"mu": c[0], "gamma": c[1],
@@ -122,6 +205,8 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                                 obj=float(obj_np[si]), nnz=int(nnz_np[si]),
                                 model=stores[c].path))
         results.sort(key=lambda r: r["obj"])
+        if os.path.exists(ckpt_path):
+            os.remove(ckpt_path)
         return results
     finally:
         for st in stores.values():
@@ -131,7 +216,9 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
 
 def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                  base: PJLearnConfig,
-                 run_label: Optional[str] = None) -> List[dict]:
+                 run_label: Optional[str] = None,
+                 _stop_after_logs: Optional[int] = None,
+                 ckpt_every: int = 1) -> List[dict]:
     """PJ grid sweep as ONE vmapped program.
 
     All S = |grid| solver states train together over the shared resident
@@ -140,11 +227,12 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
     tracked on device; full-dataset FPR95/AUC stats are evaluated once per
     entry at the end and each entry writes the same
     pj-learn/{label}-{mu}-{gamma}-pj.h5 artifact Workspace.pjlearn would.
-    """
-    import os
 
-    from ..models.pj_rda import pj_init_batch, pj_train_chunk_batch
-    from ..models.select import compute_pj_stats
+    ``ckpt_every``: checkpoint cadence in log periods (the stacked PJ
+    state is S x F x F — raw-written, but still worth batching for large
+    grids).
+    """
+    from ..models.pj_rda import PJState, pj_init_batch, pj_train_chunk_batch
 
     combos = [(m, g) for m in grid.mus for g in grid.gammas]
     s = len(combos)
@@ -154,17 +242,45 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
     if run_label is None:
         run_label = os.path.basename(unproj_path).replace("-unproj.h5", "")
     data = ws._load_split(unproj_path, base.train_frac, base.seed)
-    pos_trn = jnp.asarray(data["pos_trn"])
-    neg_trn = jnp.asarray(data["neg_trn"])
-    pos_val = jnp.asarray(data["pos_val"])
-    neg_val = jnp.asarray(data["neg_val"])
-    n_feat = pos_trn.shape[1]
+    n_feat = data["pos_trn"].shape[1]
+    check_device_budget(
+        {**{k: nbytes(v) for k, v in data.items()},
+         "sweep_state": 4 * s * n_feat * n_feat * 4,
+         "best_iterates": 2 * s * n_feat * n_feat * 4},
+        f"pj_sweep[{run_label}]")
+    splits = {k: jnp.asarray(v) for k, v in data.items()}
+    del data
+    pos_trn, neg_trn = splits["pos_trn"], splits["neg_trn"]
+    pos_val, neg_val = splits["pos_val"], splits["neg_val"]
 
-    states = pj_init_batch(n_feat, s)
-    key = jax.random.PRNGKey(base.seed)
-    best_obj = jnp.full((s,), jnp.inf, jnp.float32)
-    best_w = jnp.zeros((s, n_feat, n_feat), jnp.float32)
-    best_a = jnp.zeros((s, n_feat, n_feat), jnp.float32)
+    rank_cap = base.rank_cap or n_feat
+    n_logs = max(1, base.n_iter // base.log_step)
+    signature = _sweep_signature(combos, base, n_feat,
+                                 {"eigh_mode": base.eigh_mode,
+                                  "rank_cap": rank_cap})
+    ckpt_path = ws.path("pj-learn", f"{run_label}-sweep-ckpt.h5")
+    done_logs = 0
+    resume = None
+    if os.path.exists(ckpt_path):
+        with ArtifactStore(ckpt_path, "r") as ck:
+            if ck.get_meta("signature") == signature:
+                resume = load_solver_state(ck, PJState)
+                meta = ck.get_meta("solver_state_meta") or {}
+                done_logs = int(meta.get("completed_logs", 0))
+                best_obj = jnp.asarray(ck.read("best_obj"))
+                best_w = jnp.asarray(ck.read("best_w"))
+                best_a = jnp.asarray(ck.read("best_a"))
+        if resume is None:
+            os.remove(ckpt_path)
+
+    if resume is not None:
+        states, key = resume
+    else:
+        states = pj_init_batch(n_feat, s, base.rank_cap)
+        key = jax.random.PRNGKey(base.seed)
+        best_obj = jnp.full((s,), jnp.inf, jnp.float32)
+        best_w = jnp.zeros((s, rank_cap, n_feat), jnp.float32)
+        best_a = jnp.zeros((s, n_feat, n_feat), jnp.float32)
 
     validate_b = jax.jit(jax.vmap(pj_validate, in_axes=(None, None, 0, 0)))
 
@@ -175,12 +291,22 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                 jnp.where(improved[:, None, None], w, best_w),
                 jnp.where(improved[:, None, None], a, best_a))
 
-    n_logs = max(1, base.n_iter // base.log_step)
     log = MetricLogger(jsonl_path=ws.path("pj-learn", "logging",
                                           f"{run_label}-sweep.jsonl"))
     t0 = time.perf_counter()
+
+    def save_ckpt(li):
+        with ArtifactStore(ckpt_path, "a") as ck:
+            save_solver_state(ck, states, key,
+                              extra={"completed_logs": li + 1},
+                              compression=0)
+            ck.write("best_obj", np.asarray(best_obj), compression=0)
+            ck.write("best_w", np.asarray(best_w), compression=0)
+            ck.write("best_a", np.asarray(best_a), compression=0)
+            ck.set_meta("signature", signature)
+
     try:
-        for li in range(n_logs):
+        for li in range(done_logs, n_logs):
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, s)
             states = pj_train_chunk_batch(pos_trn, neg_trn, mus, gammas,
@@ -189,6 +315,7 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                                           eigh_mode=base.eigh_mode,
                                           subspace_steps=base.subspace_steps)
             loss, regul, obj, rank = validate_b(pos_val, neg_val, mus, states)
+            _check_finite(obj, f"pj_sweep[{run_label}]", int(states.t[0]))
             best_obj, best_w, best_a = track(obj, best_obj, states.w,
                                              states.a, best_w, best_a)
             log.record(
@@ -198,14 +325,18 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                 f"t: {time.perf_counter() - t0:.1f}s",
                 t=int(states.t[0]), med_obj=float(jnp.median(obj)),
             )
+            if (li + 1) % ckpt_every == 0 or li + 1 == n_logs:
+                save_ckpt(li)
+            if _stop_after_logs is not None and li + 1 >= _stop_after_logs:
+                if (li + 1) % ckpt_every != 0:
+                    save_ckpt(li)
+                raise SweepInterrupted(f"stopped after log {li + 1}")
         results = []
-        dists_full = jnp.asarray(data["dists"])
-        labels_full = jnp.asarray(data["labels"])
         best_w_np = np.asarray(best_w)
         best_a_np = np.asarray(best_a)
         for si, (mu, gamma) in enumerate(combos):
             w_np = best_w_np[si]
-            stats = compute_pj_stats(dists_full, labels_full, w_np)
+            stats = compute_pj_stats_splits(splits, w_np)
             out = ws.path("pj-learn", f"{run_label}-{mu}-{gamma}-pj.h5")
             with ArtifactStore(out, "w") as st:
                 st.write("W", w_np[np.any(w_np != 0.0, axis=1)])
@@ -220,6 +351,8 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                                     "auc": stats["auc"],
                                     "fpr95": stats["fpr95"]}))
         results.sort(key=lambda r: r.get("fpr95", np.inf))
+        if os.path.exists(ckpt_path):
+            os.remove(ckpt_path)
         return results
     finally:
         log.close()

@@ -35,7 +35,9 @@ from ..models.pr_rda import PRState, pr_init, pr_train_chunk, pr_validate
 from ..models.pj_rda import pj_init, pj_train_chunk, pj_validate
 from ..models.select import (
     compute_pj_stats,
-    compute_pr_stats,
+    compute_pj_stats_splits,
+    compute_pr_stats_rows,
+    compute_pr_stats_splits,
     select_pr_filters,
     selected_pr_geometry,
 )
@@ -49,6 +51,7 @@ from ..utils.configs import (
     PRLearnConfig,
 )
 from ..utils.logs import MetricLogger
+from ..utils.memory import check_device_budget, nbytes
 from ..utils.progress import TermProgress
 
 
@@ -158,37 +161,56 @@ class Workspace:
     # -- shared loading for the learners ----------------------------------
 
     def _load_split(self, dist_path: str, train_frac: float, seed: int):
-        """Load Label + Distance, split pos/neg, shuffle, 80/20
-        (reference: src/pr-learn.cpp:230-273)."""
+        """Split pos/neg, shuffle, 80/20 (reference: src/pr-learn.cpp:230-273).
+
+        The Distance matrix streams from HDF5 in row chunks and scatters
+        directly into the four preallocated split arrays — the full matrix
+        is never materialised as a second host copy, and it never goes to
+        the device at all (full-dataset stats are recomputed from the
+        splits; see models/select.compute_pr_stats_splits and the residency
+        note in utils/memory.py).
+        """
         with ArtifactStore(dist_path, "r") as st:
             labels = st.read("Label").reshape(-1)
-            dists = st.read("Distance")
-        pos_idx = np.flatnonzero(labels == 1)
-        neg_idx = np.flatnonzero(labels == 0)
-        rng = np.random.default_rng(seed)
-        rng.shuffle(pos_idx)
-        rng.shuffle(neg_idx)
-        n_pos_trn = int(len(pos_idx) * train_frac)
-        n_neg_trn = int(len(neg_idx) * train_frac)
-        if min(n_pos_trn, n_neg_trn) == 0 or (
-                len(pos_idx) == n_pos_trn or len(neg_idx) == n_neg_trn):
-            raise ValueError(
-                f"degenerate split for {dist_path}: "
-                f"{len(pos_idx)} positive / {len(neg_idx)} negative pairs "
-                f"at train_frac={train_frac} leave an empty train or "
-                f"validation side")
-        return dict(
-            dists=dists, labels=labels,
-            pos_trn=dists[pos_idx[:n_pos_trn]],
-            neg_trn=dists[neg_idx[:n_neg_trn]],
-            pos_val=dists[pos_idx[n_pos_trn:]],
-            neg_val=dists[neg_idx[n_neg_trn:]],
-        )
+            n_rows, n_feat = st.shape("Distance")
+            pos_idx = np.flatnonzero(labels == 1)
+            neg_idx = np.flatnonzero(labels == 0)
+            rng = np.random.default_rng(seed)
+            rng.shuffle(pos_idx)
+            rng.shuffle(neg_idx)
+            n_pos_trn = int(len(pos_idx) * train_frac)
+            n_neg_trn = int(len(neg_idx) * train_frac)
+            if min(n_pos_trn, n_neg_trn) == 0 or (
+                    len(pos_idx) == n_pos_trn or len(neg_idx) == n_neg_trn):
+                raise ValueError(
+                    f"degenerate split for {dist_path}: "
+                    f"{len(pos_idx)} positive / {len(neg_idx)} negative "
+                    f"pairs at train_frac={train_frac} leave an empty train "
+                    f"or validation side")
+            split_idx = [pos_idx[:n_pos_trn], neg_idx[:n_neg_trn],
+                         pos_idx[n_pos_trn:], neg_idx[n_neg_trn:]]
+            arrs = [np.empty((len(ix), n_feat), np.float32)
+                    for ix in split_idx]
+            dest_split = np.empty(n_rows, np.int8)
+            dest_row = np.empty(n_rows, np.int64)
+            for si, ix in enumerate(split_idx):
+                dest_split[ix] = si
+                dest_row[ix] = np.arange(len(ix))
+            for s, block in st.iter_rows("Distance"):
+                ds_blk = dest_split[s:s + block.shape[0]]
+                dr_blk = dest_row[s:s + block.shape[0]]
+                for si in range(4):
+                    m = ds_blk == si
+                    if m.any():
+                        arrs[si][dr_blk[m]] = block[m]
+        return dict(pos_trn=arrs[0], neg_trn=arrs[1],
+                    pos_val=arrs[2], neg_val=arrs[3])
 
     # -- stage 4: PR learning ---------------------------------------------
 
     def prlearn(self, ds: str, cfg: PRLearnConfig,
-                dist_path: Optional[str] = None) -> str:
+                dist_path: Optional[str] = None,
+                _stop_after_logs: Optional[int] = None) -> str:
         """One PR RDA run -> pr-learn/{ds}-{mu}-{gamma}-pr.h5 with the
         improving-w history (reference: 04-prlearn.sh, src/pr-learn.cpp)."""
         from ..utils.checkpoint import load_solver_state, save_solver_state
@@ -213,12 +235,12 @@ class Workspace:
         data = self._load_split(dist_path or self.path("distances", f"{ds}-dist.h5"),
                                 cfg.train_frac, cfg.seed)
         params = self.load_pr_params()
-        pos_trn = jnp.asarray(data["pos_trn"])
-        neg_trn = jnp.asarray(data["neg_trn"])
-        pos_val = jnp.asarray(data["pos_val"])
-        neg_val = jnp.asarray(data["neg_val"])
-        dists_full = jnp.asarray(data["dists"])
-        labels_full = jnp.asarray(data["labels"])
+        check_device_budget(
+            {k: nbytes(v) for k, v in data.items()}, f"prlearn[{run}]")
+        splits = {k: jnp.asarray(v) for k, v in data.items()}
+        del data
+        pos_trn, neg_trn = splits["pos_trn"], splits["neg_trn"]
+        pos_val, neg_val = splits["pos_val"], splits["neg_val"]
 
         mu = jnp.asarray([cfg.mu], jnp.float32)
         gamma = jnp.asarray([cfg.gamma], jnp.float32)
@@ -236,6 +258,12 @@ class Workspace:
 
         with MetricLogger(jsonl_path=log_path) as log, \
                 ArtifactStore(out, "a") as st:
+            if resume is not None and resume_meta.get("w_rows") is not None:
+                # drop any w row appended after the snapshot was taken (a
+                # crash in the append->snapshot window would otherwise
+                # duplicate it on replay)
+                st.truncate_rows("w", int(resume_meta["w_rows"]))
+            n_w_rows = st.shape("w")[0] if st.exists("w") else 0
             t_train0 = time.perf_counter()
             for li in range(done_logs, n_logs):
                 key, sub = jax.random.split(key)
@@ -248,6 +276,14 @@ class Workspace:
                 t_val0 = time.perf_counter()
                 loss, regul, obj, nnz = pr_validate(pos_val, neg_val, mu, state)
                 obj0 = float(obj[0])
+                if not np.isfinite(obj0):
+                    # crash-fast on solver divergence, the role feenableexcept
+                    # plays in the reference's loop (src/pr-learn.cpp:57): a
+                    # non-finite objective means w/df_avg are already poisoned
+                    raise FloatingPointError(
+                        f"prlearn[{run}]: non-finite objective {obj0} at "
+                        f"t={int(state.t)} (loss={float(loss[0])}, "
+                        f"regul={float(regul[0])})")
                 t_val = time.perf_counter() - t_val0
                 improved = obj0 < obj_best
                 if improved:
@@ -258,11 +294,12 @@ class Workspace:
                             nnz_best=int(nnz[0]), ttime=t_train, vtime=t_val)
                 if improved:
                     w_np = np.asarray(state.w[0])
-                    stats = compute_pr_stats(params, dists_full, labels_full,
-                                             w_np, max_dim=cfg.max_dim)
+                    stats = compute_pr_stats_splits(params, splits, w_np,
+                                                    max_dim=cfg.max_dim)
                     saved = stats["dim"] <= cfg.max_dim
                     if saved:
                         st.append_row("w", w_np)
+                        n_w_rows += 1
                     log.pr_stat(n_pr=stats["n_pr"], nz_dim=stats["nz_dim"],
                                 dim=stats["dim"], max_dim=cfg.max_dim,
                                 auc=stats["auc"] or 0.0,
@@ -270,7 +307,12 @@ class Workspace:
                                 saved=saved)
                 save_solver_state(st, state, key,
                                   extra={"completed_logs": li + 1,
-                                         "obj_best": obj_best})
+                                         "obj_best": obj_best,
+                                         "w_rows": n_w_rows})
+                if _stop_after_logs is not None and li + 1 >= _stop_after_logs:
+                    from ..utils.checkpoint import RunInterrupted
+
+                    raise RunInterrupted(f"stopped after log {li + 1}")
                 t_train0 = time.perf_counter()
             st.set_meta("done_iters", marker)
             st.set_meta("config", vars(cfg))
@@ -287,17 +329,28 @@ class Workspace:
         records = []
         with MetricLogger(jsonl_path=jsonl_path) as log:
             for ds, dpath in dist_paths.items():
+                # the stats pass holds ONLY the one matrix (nothing else is
+                # resident), so at Brown scale this is 10.2 GiB of 16 —
+                # verified up front instead of OOMing mid-eval
                 with ArtifactStore(dpath, "r") as st:
                     labels = st.read("Label").reshape(-1)
+                    n_rows, n_feat = st.shape("Distance")
+                    check_device_budget(
+                        {"Distance": n_rows * n_feat * 4},
+                        f"prstats[{ds}]")
                     dists = st.read("Distance")
                 dists_j = jnp.asarray(dists)
+                del dists
                 labels_j = jnp.asarray(labels)
                 for mpath in model_paths:
                     with ArtifactStore(mpath, "r") as st:
                         hist = st.read("w")
-                    for row in range(hist.shape[0]):
-                        stats = compute_pr_stats(params, dists_j, labels_j,
-                                                 hist[row])
+                    # all rows of the history share one GEMM + one batched
+                    # argsort (vs the reference's per-row GEMM + scalar ROC
+                    # loop, src/pr-stats.cpp:221)
+                    all_stats = compute_pr_stats_rows(params, dists_j,
+                                                      labels_j, hist)
+                    for row, stats in enumerate(all_stats):
                         rec = dict(model=mpath, row=row, dataset=ds, **stats)
                         records.append(rec)
                         log.model_stat(model=mpath, row=row, dataset=ds,
@@ -386,41 +439,63 @@ class Workspace:
     # -- stage 8: PJ learning ---------------------------------------------
 
     def pjlearn(self, unproj_path: str, cfg: PJLearnConfig,
-                run_label: Optional[str] = None) -> str:
+                run_label: Optional[str] = None,
+                _stop_after_logs: Optional[int] = None) -> str:
         """One PJ RDA run -> pj-learn/{label}-{mu}-{gamma}-pj.h5 holding the
         best W, A (reference: 08-pjlearn.sh, src/pj-learn.cpp)."""
         if run_label is None:
             run_label = os.path.basename(unproj_path).replace("-unproj.h5", "")
+        from ..models.pj_rda import PJState
+        from ..utils.checkpoint import load_solver_state, save_solver_state
+
         run = f"{run_label}-{cfg.mu}-{cfg.gamma}-pj"
         out = self.path("pj-learn", f"{run}.h5")
         log_path = self.path("pj-learn", "logging", f"{run}.jsonl")
         marker = f"{cfg.n_iter}"
+        resume = None
+        resume_meta = {}
         if os.path.exists(out):
             with ArtifactStore(out, "r") as st:
                 if st.get_meta("done_iters") == marker:
                     return out
-            os.remove(out)
+                # mid-run snapshot? resume instead of restarting (the
+                # reference restarts a crashed pj-learn from zero,
+                # 08-pjlearn.sh:18-21)
+                resume = load_solver_state(st, PJState)
+                resume_meta = st.get_meta("solver_state_meta") or {}
+            if resume is None:
+                os.remove(out)
 
         data = self._load_split(unproj_path, cfg.train_frac, cfg.seed)
-        pos_trn = jnp.asarray(data["pos_trn"])
-        neg_trn = jnp.asarray(data["neg_trn"])
-        pos_val = jnp.asarray(data["pos_val"])
-        neg_val = jnp.asarray(data["neg_val"])
-        dists_full = jnp.asarray(data["dists"])
-        labels_full = jnp.asarray(data["labels"])
+        check_device_budget(
+            {k: nbytes(v) for k, v in data.items()}, f"pjlearn[{run}]")
+        splits = {k: jnp.asarray(v) for k, v in data.items()}
+        del data
+        pos_trn, neg_trn = splits["pos_trn"], splits["neg_trn"]
+        pos_val, neg_val = splits["pos_val"], splits["neg_val"]
 
-        state = pj_init(pos_trn.shape[1])
-        key = jax.random.PRNGKey(cfg.seed)
         mu_j = jnp.float32(cfg.mu)
-
         n_logs = max(1, cfg.n_iter // cfg.log_step)
+        done_logs = 0
         obj_best, auc_best, fpr95_best = np.inf, 0.0, np.inf
         w_save = a_save = None
+        if resume is not None:
+            state, key = resume
+            done_logs = int(resume_meta.get("completed_logs", 0))
+            obj_best = float(resume_meta.get("obj_best", np.inf))
+            auc_best = float(resume_meta.get("auc_best", 0.0))
+            fpr95_best = float(resume_meta.get("fpr95_best", np.inf))
+        else:
+            state = pj_init(pos_trn.shape[1], cfg.rank_cap)
+            key = jax.random.PRNGKey(cfg.seed)
 
         with MetricLogger(jsonl_path=log_path) as log, \
-                ArtifactStore(out, "w") as st:
+                ArtifactStore(out, "a") as st:
+            if resume is not None and st.exists("best_W"):
+                w_save = st.read("best_W")
+                a_save = st.read("best_A")
             t_train0 = time.perf_counter()
-            for _ in range(n_logs):
+            for li in range(done_logs, n_logs):
                 key, sub = jax.random.split(key)
                 state = pj_train_chunk(pos_trn, neg_trn, cfg.mu, cfg.gamma,
                                        state, sub, batch=cfg.batch,
@@ -433,6 +508,11 @@ class Workspace:
                 loss, regul, obj, rank = pj_validate(pos_val, neg_val, mu_j,
                                                      state)
                 obj0 = float(obj)
+                if not np.isfinite(obj0):
+                    raise FloatingPointError(
+                        f"pjlearn[{run}]: non-finite objective {obj0} at "
+                        f"iter {int(state.t)} (loss={float(loss)}, "
+                        f"regul={float(regul)})")
                 t_val = time.perf_counter() - t_val0
                 improved = obj0 < obj_best
                 if improved:
@@ -445,7 +525,7 @@ class Workspace:
                     # full-dataset stats + dual best criterion
                     # (reference: src/pj-learn.cpp:551-566)
                     w_np = np.asarray(state.w)
-                    stats = compute_pj_stats(dists_full, labels_full, w_np)
+                    stats = compute_pj_stats_splits(splits, w_np)
                     saved = (auc_best <= stats["auc"]
                              and fpr95_best >= stats["fpr95"])
                     if saved:
@@ -453,9 +533,20 @@ class Workspace:
                         fpr95_best = stats["fpr95"]
                         w_save = w_np[np.any(w_np != 0.0, axis=1)]
                         a_save = np.asarray(state.a)
+                        st.write("best_W", w_save)
+                        st.write("best_A", a_save)
                     log.pj_stat(dim=stats["dim"], auc=stats["auc"],
                                 auc_best=auc_best, fpr95=stats["fpr95"],
                                 fpr95_best=fpr95_best, saved=saved)
+                save_solver_state(st, state, key,
+                                  extra={"completed_logs": li + 1,
+                                         "obj_best": obj_best,
+                                         "auc_best": auc_best,
+                                         "fpr95_best": fpr95_best})
+                if _stop_after_logs is not None and li + 1 >= _stop_after_logs:
+                    from ..utils.checkpoint import RunInterrupted
+
+                    raise RunInterrupted(f"stopped after log {li + 1}")
                 t_train0 = time.perf_counter()
             if w_save is None:
                 w_save = np.asarray(state.w)[

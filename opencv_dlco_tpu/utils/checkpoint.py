@@ -19,11 +19,22 @@ from ..data.store import ArtifactStore
 _PREFIX = "solver_state"
 
 
+class RunInterrupted(RuntimeError):
+    """Raised by the _stop_after_logs test hooks right after a snapshot —
+    simulates a mid-run kill at a known point for resume tests."""
+
+
+
 def save_solver_state(store: ArtifactStore, state, key,
-                      extra: Optional[dict] = None) -> None:
-    """Snapshot a NamedTuple-of-arrays solver state + PRNG key."""
+                      extra: Optional[dict] = None,
+                      compression: int = 4) -> None:
+    """Snapshot a NamedTuple-of-arrays solver state + PRNG key.
+
+    compression=0 for large (sweep-stacked) states where gzip time would
+    dominate the log period."""
     for name, leaf in state._asdict().items():
-        store.write(f"{_PREFIX}/{name}", np.asarray(leaf), compression=4)
+        store.write(f"{_PREFIX}/{name}", np.asarray(leaf),
+                    compression=compression)
     # legacy uint32 PRNG keys round-trip as plain arrays
     store.write(f"{_PREFIX}/prng_key", np.asarray(key), compression=0)
     store.set_meta(f"{_PREFIX}_meta", {

@@ -9,7 +9,7 @@ so the sweep engine can vmap over them.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +99,12 @@ class PJLearnConfig:
     # "subspace" -> warm-started orthogonal iteration (TPU-fast, approximate).
     eigh_mode: str = "exact"
     subspace_steps: int = 4
+    # With eigh_mode="subspace": track only the top-K eigenpairs (F x K
+    # basis, W becomes K x F). The trace-norm regulariser keeps the true
+    # rank far below F (shipped reference models: 49-168 rows), so a cap
+    # of ~2x the expected rank loses nothing; turns the O(F^3) eigh into
+    # O(F^2 K) MXU work. None -> full basis.
+    rank_cap: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,9 +79,21 @@ def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=4096, steps=64,
                                         batch=batch, n_steps=steps,
                                         sampling=sampling))
     samples_per_sec = batch * steps / dt
-    return dict(samples_per_sec=samples_per_sec, step_time=dt,
-                batch=batch, steps=steps, n_feat=n_feat, n_rows=n_rows,
-                vs_baseline=samples_per_sec / BASELINE_PR_SAMPLES_PER_SEC)
+    out = dict(samples_per_sec=samples_per_sec, step_time=dt,
+               batch=batch, steps=steps, n_feat=n_feat, n_rows=n_rows,
+               vs_baseline=samples_per_sec / BASELINE_PR_SAMPLES_PER_SEC)
+    # fused Pallas step (ops/fused_rda.py): 2BF HBM traffic instead of 5BF
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        dt_f = _timeit(lambda: pr_train_chunk(
+            pos, neg, mu, gamma, state, key, batch=batch, n_steps=steps,
+            sampling="block_fused"))
+        sps_f = batch * steps / dt_f
+        out.update(fused_samples_per_sec=sps_f, fused_step_time=dt_f,
+                   fused_vs_baseline=sps_f / BASELINE_PR_SAMPLES_PER_SEC,
+                   fused_speedup_over_block=sps_f / samples_per_sec)
+    return out
 
 
 def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=1024, steps=16,
@@ -176,6 +188,91 @@ def bench_stage3(n_pairs=512, pool_cfg=None):
     pairs_per_sec = n_pairs / dt
     return dict(pairs_per_sec=pairs_per_sec, block_time=dt,
                 n_filters=int(f.shape[0]))
+
+
+def bench_precision_fpr95(n_pairs=50_000, block=512, pool_cfg=None,
+                          seed=0):
+    """bf16-vs-f32 stage-3 pooling measured on the END metric (VERDICT r1
+    item 5): FPR95/AUC over >=50k realistic synthetic pairs (matched =
+    shifted+noised copies of the same texture, data/synthetic.py), full
+    40,960-filter bank, PatchDist = w . ring_dists with both a uniform w
+    and a sparse trained-like w (13 spread rings, the published models'
+    shape). The bf16 recommendation is gated on |dFPR95| < 0.1 (percentage
+    points) — the gate PARITY.md documents.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .data.synthetic import synth_patch_pairs
+    from .ops.pair_distance import ring_distances
+    from .ops.patch_transform import batch_patch_transform
+    from .ops.pool_regions import build_filter_bank
+    from .ops.roc import roc_stats
+    from .utils.configs import PoolRegionConfig
+
+    cfg = pool_cfg or PoolRegionConfig()
+    _, _, filters = build_filter_bank(cfg)
+    f = jnp.asarray(filters)
+    n_rings = filters.shape[0] // 8
+
+    rng = np.random.default_rng(seed)
+    # chunked generation (the FFT texture synth is host-side)
+    p1s, p2s, lbls = [], [], []
+    left = n_pairs
+    while left > 0:
+        c = min(4096, left)
+        a, b, l = synth_patch_pairs(rng, n_pairs=c)
+        p1s.append(a)
+        p2s.append(b)
+        lbls.append(l)
+        left -= c
+    p1 = np.concatenate(p1s)
+    p2 = np.concatenate(p2s)
+    labels = np.concatenate(lbls)
+
+    w_uniform = np.ones(n_rings, np.float32)
+    w_sparse = np.zeros(n_rings, np.float32)
+    w_sparse[np.arange(17, n_rings, max(1, n_rings // 13))[:13]] = 1.0
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("prec",))
+    def block_dists(flt, a, b, prec):
+        pt1 = batch_patch_transform(a)
+        pt2 = batch_patch_transform(b)
+        return ring_distances(flt, pt1, pt2, precision=prec)
+
+    out = {"n_pairs": int(n_pairs), "n_filters": int(f.shape[0])}
+    dists = {}
+    for label, prec in (("f32", jax.lax.Precision.HIGHEST),
+                        ("bf16", jax.lax.Precision.DEFAULT)):
+        rows = []
+        t0 = time.perf_counter()
+        for i in range(0, n_pairs, block):
+            a = jnp.asarray(p1[i:i + block])
+            b = jnp.asarray(p2[i:i + block])
+            rows.append(np.asarray(block_dists(f, a, b, prec)))
+        dt = time.perf_counter() - t0
+        rd = np.concatenate(rows)                     # (N, n_rings)
+        dists[label] = rd
+        out[f"{label}_time"] = dt
+        out[f"{label}_pairs_per_sec"] = n_pairs / dt
+        for wname, w in (("uniform", w_uniform), ("sparse", w_sparse)):
+            d = jnp.asarray(rd @ w)
+            fpr95, auc = roc_stats(d, jnp.asarray(labels))
+            out[f"{label}_{wname}_fpr95"] = float(fpr95) * 100.0
+            out[f"{label}_{wname}_auc"] = float(auc)
+    for wname in ("uniform", "sparse"):
+        out[f"delta_fpr95_{wname}"] = (out[f"bf16_{wname}_fpr95"]
+                                       - out[f"f32_{wname}_fpr95"])
+        out[f"delta_auc_{wname}"] = (out[f"bf16_{wname}_auc"]
+                                     - out[f"f32_{wname}_auc"])
+    rel = np.abs(dists["bf16"] - dists["f32"]) / (np.abs(dists["f32"]) + 1e-6)
+    out["median_rel_err"] = float(np.median(rel))
+    out["bf16_safe"] = bool(
+        abs(out["delta_fpr95_uniform"]) < 0.1
+        and abs(out["delta_fpr95_sparse"]) < 0.1)
+    return out
 
 
 def bench_brown_scale(n_feat=5120, n_pos_trn=200_000, n_neg_trn=200_000,
@@ -302,6 +399,8 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["pj_rda"] = bench_pj_rda()
     if suite in ("all", "brown"):
         details["brown_scale"] = bench_brown_scale()
+    if suite in ("all", "precision"):
+        details["precision_fpr95"] = bench_precision_fpr95()
     details["total_bench_time"] = time.time() - t0
 
     with open(out_path, "w") as f:

@@ -171,6 +171,15 @@ def cmd_bench(args):
     bench_mod.run(suite=args.suite)
 
 
+def cmd_dist_info(args):
+    import json
+
+    from .parallel.distributed import distributed_init, host_info
+
+    multi = distributed_init()
+    print(json.dumps({"multi_process": multi, **host_info()}, indent=2))
+
+
 def main(argv=None):
     # Honour DLCO_PLATFORM even where a site hook pre-registers another JAX
     # backend (env JAX_PLATFORMS alone can be overridden by such hooks).
@@ -299,7 +308,20 @@ def main(argv=None):
     sp.add_argument("--suite", default="all")
     sp.set_defaults(fn=cmd_bench)
 
+    sp = sub.add_parser("dist-info", help="show multi-host topology "
+                                          "(after distributed init)")
+    sp.set_defaults(fn=cmd_dist_info)
+
+    p.add_argument("--distributed", action="store_true",
+                   help="initialise jax.distributed from DLCO_COORDINATOR/"
+                        "DLCO_NUM_PROCESSES/DLCO_PROCESS_ID (or pod "
+                        "auto-detection) before running the command")
     args = p.parse_args(argv)
+    if getattr(args, "distributed", False) or \
+            os.environ.get("DLCO_NUM_PROCESSES"):
+        from .parallel.distributed import distributed_init
+
+        distributed_init()
     args.fn(args)
 
 

@@ -8,6 +8,9 @@ from .se3 import (
     se3_compose,
     se3_inverse,
     se3_apply,
+    sim3_compose,
+    sim3_inverse,
+    sim3_exp,
 )
 from .epipolar import (
     normalize_points,
@@ -26,7 +29,7 @@ from .mvba import (
     multi_view_ba_sharded,
     shard_ba_problem,
 )
-from .posegraph import optimize_pose_graph
+from .posegraph import optimize_pose_graph, optimize_pose_graph_sim3
 
 __all__ = [
     "hat", "vee", "so3_exp", "so3_log", "se3_exp", "se3_log",
@@ -38,5 +41,6 @@ __all__ = [
     "two_view_ba", "reprojection_residuals",
     "build_landmark_table", "multi_view_ba", "multi_view_ba_sharded",
     "shard_ba_problem",
-    "optimize_pose_graph",
+    "optimize_pose_graph", "optimize_pose_graph_sim3",
+    "sim3_compose", "sim3_inverse", "sim3_exp",
 ]

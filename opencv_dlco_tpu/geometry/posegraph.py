@@ -122,3 +122,122 @@ def optimize_pose_graph(r0, t0, edges_i, edges_j, r_z, t_z,
         step, (r0, t0, jnp.asarray(init_lambda)), None, length=n_iters)
     return PoseGraphResult(r=r, t=t,
                            cost_history=jnp.concatenate([cost0[None], costs]))
+
+
+# -- Sim(3) pose graph: monocular scale-drift-aware loop closure -----------
+
+from .se3 import sim3_compose, sim3_exp, sim3_inverse  # noqa: E402
+
+
+def _sim3_edge_residual(xi_i, xi_j, r_i, t_i, s_i, r_j, t_j, s_j,
+                        r_z, t_z, sw):
+    """(7,) residual of one edge under Sim(3) increments on both poses.
+
+    Edge measurements are SE(3) relative poses (scale 1): the optimiser
+    distributes the loop's accumulated scale error over the per-node scale
+    states — the monocular drift SE(3) graphs structurally cannot absorb
+    (Strasdat et al., "Scale drift-aware large scale monocular SLAM").
+    ``sw`` weights the log-scale component: odometry scale drift means the
+    per-edge scale ratios are exactly what must float, so it is kept soft
+    relative to the translation/rotation terms."""
+    dri, dti, dsi = sim3_exp(xi_i)
+    drj, dtj, dsj = sim3_exp(xi_j)
+    ri, ti, si = sim3_compose(dri, dti, dsi, r_i, t_i, s_i)
+    rj, tj, sj = sim3_compose(drj, dtj, dsj, r_j, t_j, s_j)
+    r_rel, t_rel, s_rel = sim3_compose(*sim3_inverse(ri, ti, si),
+                                       rj, tj, sj)
+    r_err, t_err, s_err = sim3_compose(
+        *sim3_inverse(r_z, t_z, jnp.ones_like(s_rel)), r_rel, t_rel, s_rel)
+    return jnp.concatenate([t_err, se3_log(r_err, jnp.zeros_like(t_err))[3:],
+                            sw * jnp.log(s_err)[None]])
+
+
+class Sim3PoseGraphResult(NamedTuple):
+    r: jax.Array            # (M, 3, 3)
+    t: jax.Array            # (M, 3)
+    s: jax.Array            # (M,) per-node scale corrections
+    cost_history: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "scale_weight"))
+def optimize_pose_graph_sim3(r0, t0, edges_i, edges_j, r_z, t_z,
+                             weights=None, *, n_iters: int = 20,
+                             init_lambda: float = 1e-4,
+                             gauge_weight: float = 1e6,
+                             scale_weight: float = 0.1
+                             ) -> Sim3PoseGraphResult:
+    """Optimise M poses + per-node scales given E SE(3) edge measurements.
+
+    Same contract as optimize_pose_graph but over Sim(3): node 0 is gauge-
+    fixed in all 7 dof (its unit scale anchors the global scale). The
+    returned (r, t) already have the scale corrections folded into the
+    trajectory; ``s`` is reported for diagnostics/map rescaling."""
+    m = r0.shape[0]
+    e = edges_i.shape[0]
+    if weights is None:
+        weights = jnp.ones((e,), t0.dtype)
+    s0 = jnp.ones((m,), t0.dtype)
+    zero = jnp.zeros(7, t0.dtype)
+
+    def linearize(r, t, s):
+        ri, ti, si = r[edges_i], t[edges_i], s[edges_i]
+        rj, tj, sj = r[edges_j], t[edges_j], s[edges_j]
+        args = (ri, ti, si, rj, tj, sj, r_z, t_z)
+        sw = jnp.asarray(scale_weight, t0.dtype)
+        res = jax.vmap(
+            lambda *a: _sim3_edge_residual(zero, zero, *a, sw))(*args)
+        ja = jax.vmap(
+            lambda *a: jax.jacfwd(_sim3_edge_residual, 0)(zero, zero, *a, sw)
+        )(*args)                                          # (E, 7, 7)
+        jb = jax.vmap(
+            lambda *a: jax.jacfwd(_sim3_edge_residual, 1)(zero, zero, *a, sw)
+        )(*args)
+        cost = jnp.sum(weights[:, None] * res * res)
+        return res, ja, jb, cost
+
+    def build_normal(res, ja, jb):
+        w = weights[:, None, None]
+        haa = w * jnp.einsum("eri,erj->eij", ja, ja, precision=_HIGHEST)
+        hbb = w * jnp.einsum("eri,erj->eij", jb, jb, precision=_HIGHEST)
+        hab = w * jnp.einsum("eri,erj->eij", ja, jb, precision=_HIGHEST)
+        ba = -jnp.einsum("e,eri,er->ei", weights, ja, res)
+        bb = -jnp.einsum("e,eri,er->ei", weights, jb, res)
+        h = jnp.zeros((m, m, 7, 7), res.dtype)
+        h = h.at[edges_i, edges_i].add(haa)
+        h = h.at[edges_j, edges_j].add(hbb)
+        h = h.at[edges_i, edges_j].add(hab)
+        h = h.at[edges_j, edges_i].add(jnp.swapaxes(hab, -1, -2))
+        b = jnp.zeros((m, 7), res.dtype)
+        b = b.at[edges_i].add(ba)
+        b = b.at[edges_j].add(bb)
+        h = h.at[0, 0].add(gauge_weight * jnp.eye(7))
+        return h, b
+
+    def apply_dx(r, t, s, dx):
+        dr, dt, ds = sim3_exp(dx)
+        r_new, t_new, s_new = sim3_compose(dr, dt, ds, r, t, s)
+        return r_new, t_new, s_new
+
+    def step(carry, _):
+        r, t, s, lam = carry
+        res, ja, jb, cost = linearize(r, t, s)
+        h, b = build_normal(res, ja, jb)
+        hd = h.transpose(0, 2, 1, 3).reshape(7 * m, 7 * m)
+        hd = hd + lam * jnp.diag(jnp.maximum(jnp.diag(hd), 1e-8))
+        dx = jnp.linalg.solve(hd + 1e-9 * jnp.eye(7 * m),
+                              b.reshape(-1)).reshape(m, 7)
+        r_new, t_new, s_new = apply_dx(r, t, s, dx)
+        _, _, _, new_cost = linearize(r_new, t_new, s_new)
+        accept = new_cost < cost
+        r = jnp.where(accept, r_new, r)
+        t = jnp.where(accept, t_new, t)
+        s = jnp.where(accept, s_new, s)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        return (r, t, s, lam), jnp.where(accept, new_cost, cost)
+
+    _, _, _, cost0 = linearize(r0, t0, s0)
+    (r, t, s, _), costs = jax.lax.scan(
+        step, (r0, t0, s0, jnp.asarray(init_lambda)), None, length=n_iters)
+    return Sim3PoseGraphResult(
+        r=r, t=t, s=s,
+        cost_history=jnp.concatenate([cost0[None], costs]))

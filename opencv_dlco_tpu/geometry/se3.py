@@ -125,3 +125,31 @@ def se3_inverse(r, t):
 def se3_apply(r, t, x):
     """Apply pose to points: (…, 3, 3), (…, 3), (…, N, 3) -> (…, N, 3)."""
     return jnp.einsum("...ij,...nj->...ni", r, x) + t[..., None, :]
+
+
+# -- Sim(3): similarity transforms for monocular scale-drift correction ----
+
+def sim3_compose(r1, t1, s1, r2, t2, s2):
+    """(R1,t1,s1) ∘ (R2,t2,s2): x -> s1 R1 (s2 R2 x + t2) + t1."""
+    s1 = jnp.asarray(s1)
+    r = jnp.matmul(r1, r2)
+    t = s1[..., None] * jnp.einsum("...ij,...j->...i", r1, t2) + t1
+    return r, t, s1 * s2
+
+
+def sim3_inverse(r, t, s):
+    """Inverse of x -> s R x + t."""
+    rt = jnp.swapaxes(r, -1, -2)
+    s_inv = 1.0 / jnp.asarray(s)
+    return rt, -s_inv[..., None] * jnp.einsum("...ij,...j->...i", rt, t), \
+        s_inv
+
+
+def sim3_exp(xi: jax.Array):
+    """(…, 7) [rho, phi, sigma] -> (R, t, s) small-increment retraction.
+
+    Uses the SE(3) exponential for (R, t) and s = exp(sigma) — a valid
+    local parameterisation for Gauss-Newton increments (the exact Sim(3)
+    exp differs only at second order in ||xi||)."""
+    r, t = se3_exp(xi[..., :6])
+    return r, t, jnp.exp(xi[..., 6])

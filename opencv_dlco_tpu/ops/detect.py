@@ -21,14 +21,21 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nms_radius", "border",
-                                             "use_shi_tomasi"))
+                                             "use_shi_tomasi", "subpixel"))
 def detect_corners(image: jax.Array, k: int = 512, *, nms_radius: int = 4,
                    border: int = 32, harris_k: float = 0.04,
-                   sigma: float = 2.0, use_shi_tomasi: bool = True):
+                   sigma: float = 2.0, use_shi_tomasi: bool = True,
+                   subpixel: bool = False):
     """(H, W) image -> (scores (k,), yx (k, 2) int32, valid (k,)).
 
     Corners are NMS-filtered local maxima of the structure-tensor response,
     excluding a border margin (so a full patch fits around each corner).
+
+    With ``subpixel=True`` a fourth output (k, 2) float32 is appended: the
+    per-axis parabolic refinement of each maximum (offset clamped to
+    +-0.5 px). Sub-pixel centres matter for geometry (triangulation depth
+    error scales with keypoint error over an ~9 px disparity); the integer
+    centres remain the patch-extraction anchors.
     """
     img = image.astype(jnp.float32)
     h, w = img.shape
@@ -71,7 +78,27 @@ def detect_corners(image: jax.Array, k: int = 512, *, nms_radius: int = 4,
     top, idx = jax.lax.top_k(flat, k)
     yx = jnp.stack([idx // w, idx % w], axis=1).astype(jnp.int32)
     valid = jnp.isfinite(top) & (top > 0)
-    return top, yx, valid
+    if not subpixel:
+        return top, yx, valid
+
+    # 1-D parabola per axis on the raw response: off = -0.5 (r+ - r-) /
+    # (r+ - 2 r0 + r-); borders guarantee the +-1 neighbours exist
+    def refine_axis(dy, dx):
+        return resp[jnp.clip(yx[:, 0] + dy, 0, h - 1),
+                    jnp.clip(yx[:, 1] + dx, 0, w - 1)]
+
+    r0 = refine_axis(0, 0)
+    denom_y = refine_axis(1, 0) - 2.0 * r0 + refine_axis(-1, 0)
+    denom_x = refine_axis(0, 1) - 2.0 * r0 + refine_axis(0, -1)
+    off_y = jnp.where(jnp.abs(denom_y) > 1e-12,
+                      -0.5 * (refine_axis(1, 0) - refine_axis(-1, 0))
+                      / denom_y, 0.0)
+    off_x = jnp.where(jnp.abs(denom_x) > 1e-12,
+                      -0.5 * (refine_axis(0, 1) - refine_axis(0, -1))
+                      / denom_x, 0.0)
+    off = jnp.clip(jnp.stack([off_y, off_x], axis=1), -0.5, 0.5)
+    yx_f = yx.astype(jnp.float32) + off
+    return top, yx, valid, yx_f
 
 
 @functools.partial(jax.jit, static_argnames=("patch_size",))

@@ -1,0 +1,107 @@
+"""Fused Pallas kernel for the PR-RDA block-sampling step.
+
+The XLA path (models/pr_rda._pr_step, sampling="block") materialises the
+(B, F) FeatDiff between the slice and the two matmuls:
+
+    read pos block (BF) + read neg block (BF) + write fd (BF)
+    + read fd for f = fd @ w.T (BF) + read fd for g = viol.T @ fd (BF)
+    = 5 BF of HBM traffic per step,
+
+~4x off the 2 BF speed-of-light (STATUS r1 item 4; the step is
+bandwidth-bound at F=5120). This kernel streams tile_b-row tiles of pos
+and neg through VMEM once and computes everything in-core:
+
+    fd   = pos_tile - neg_tile            (VPU, in VMEM)
+    f    = fd @ w.T                       (MXU, (tile_b, S))
+    viol = f > -1                         (VPU)
+    g   += viol.T @ fd                    (MXU, accumulated over the grid)
+
+exactly 2 BF of HBM reads — the hinge-violator subgradient of
+src/pr-learn.cpp:319-325 computed at memory speed-of-light. The random
+block offsets arrive as scalar-prefetch arguments (block-granular: offsets
+are multiples of tile_b, a uniform without-replacement sample over
+tile-aligned windows of the pre-shuffled rows — same distribution class as
+sampling="block", coarser offset granularity).
+
+S (the sweep axis) must be small (w and the g accumulator live in VMEM);
+the grid-sweep path stays on XLA where the (B,F)x(F,S) matmul is
+MXU-bound, not bandwidth-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_kernel(ip_ref, in_ref_s, pos_ref, neg_ref, w_ref, g_ref):
+    """Grid step i: one (tile_b, F) tile of the sampled block."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        g_ref[...] = jnp.zeros_like(g_ref)
+
+    fd = pos_ref[...] - neg_ref[...]                       # (tile_b, F)
+    f = jnp.dot(fd, w_ref[...].T,
+                preferred_element_type=jnp.float32)        # (tile_b, S)
+    viol = (f > -1.0).astype(jnp.float32)
+    g_ref[...] += jnp.dot(viol.T, fd,
+                          preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "tile_b", "interpret"))
+def fused_block_grad(pos: jax.Array, neg: jax.Array, w: jax.Array,
+                     ip0_blk: jax.Array, in0_blk: jax.Array, *,
+                     batch: int, tile_b: int = 128,
+                     interpret: bool = False) -> jax.Array:
+    """Hinge-violator subgradient over one sampled block, fused.
+
+    Args:
+      pos, neg: (N, F) resident training splits (rows pre-shuffled).
+      w: (S, F) iterate, S small (<= 8 recommended).
+      ip0_blk, in0_blk: scalar int32 start offsets in units of tile_b rows.
+      batch: rows sampled per side (multiple of tile_b).
+
+    Returns g: (S, F) = sum over violating samples of FeatDiff.
+    """
+    if batch % tile_b:
+        raise ValueError(f"batch {batch} not a multiple of tile_b {tile_b}")
+    n_tiles = batch // tile_b
+    f_dim = pos.shape[1]
+    s = w.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_b, f_dim), lambda i, ip, inn: (ip[0] + i, 0)),
+            pl.BlockSpec((tile_b, f_dim), lambda i, ip, inn: (inn[0] + i, 0)),
+            pl.BlockSpec((s, f_dim), lambda i, ip, inn: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((s, f_dim), lambda i, ip, inn: (0, 0)),
+    )
+    return pl.pallas_call(
+        _fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, f_dim), jnp.float32),
+        interpret=interpret,
+    )(ip0_blk.reshape(1).astype(jnp.int32),
+      in0_blk.reshape(1).astype(jnp.int32), pos, neg, w)
+
+
+def reference_block_grad(pos, neg, w, ip0_blk, in0_blk, *, batch,
+                         tile_b: int = 128):
+    """Unfused float32 reference of fused_block_grad (test oracle)."""
+    ip0 = ip0_blk * tile_b
+    in0 = in0_blk * tile_b
+    fd = (jax.lax.dynamic_slice(pos, (ip0, 0), (batch, pos.shape[1]))
+          - jax.lax.dynamic_slice(neg, (in0, 0), (batch, neg.shape[1])))
+    f = jnp.matmul(fd, w.T, precision=jax.lax.Precision.HIGHEST)
+    viol = (f > -1.0).astype(jnp.float32)
+    return jnp.matmul(viol.T, fd, precision=jax.lax.Precision.HIGHEST)

@@ -1,4 +1,5 @@
 from .mesh import make_mesh, data_axis, model_axis
+from .distributed import distributed_init, host_info, is_primary
 from .sharding import (
     distance_sharding,
     replicated,
@@ -10,6 +11,7 @@ from .sharding import (
 from .sweep import run_pr_sweep, run_pj_sweep
 
 __all__ = [
+    "distributed_init", "host_info", "is_primary",
     "make_mesh",
     "data_axis",
     "model_axis",

@@ -29,13 +29,33 @@ model_axis = "mp"
 
 def make_mesh(dp: Optional[int] = None, mp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (dp, mp) mesh; dp defaults to n_devices // mp."""
+    """Build a (dp, mp) mesh; dp defaults to n_devices // mp.
+
+    Multi-host layout contract: devices are ordered by (process, local id)
+    before the row-major (dp, mp) reshape, so each mp group lies inside one
+    host (ICI) and the dp axis tiles across hosts (DCN) — the layout §5 of
+    SURVEY.md specifies. mp must divide every host's local device count or
+    an mp group would straddle a DCN boundary; that is rejected.
+    """
     if devices is None:
         devices = jax.devices()
+    devices = sorted(devices,
+                     key=lambda d: (getattr(d, "process_index", 0),
+                                    getattr(d, "id", 0)))
     n = len(devices)
     if dp is None:
         dp = n // mp
     if dp * mp != n:
         raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    if mp > 1:
+        per_host: dict = {}
+        for d in devices:
+            p = getattr(d, "process_index", 0)
+            per_host[p] = per_host.get(p, 0) + 1
+        for p, cnt in per_host.items():
+            if cnt % mp:
+                raise ValueError(
+                    f"mp={mp} does not divide host {p}'s {cnt} local "
+                    f"devices; an mp shard group would cross DCN")
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, (data_axis, model_axis))

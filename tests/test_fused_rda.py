@@ -1,0 +1,78 @@
+"""Fused Pallas RDA-step kernel vs unfused float32 oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opencv_dlco_tpu.models.pr_rda import pr_init, pr_train_chunk
+from opencv_dlco_tpu.ops.fused_rda import (
+    fused_block_grad,
+    reference_block_grad,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.parametrize("s_dim", [1, 8])
+def test_fused_block_grad_matches_oracle(s_dim):
+    rng = np.random.default_rng(11)  # pinned: suite-order independent
+    n, f, batch, tile_b = 1024, 384, 256, 128
+    pos = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (n, f))).astype(np.float32))
+    neg = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (n, f))).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.normal(0, 0.1, (s_dim, f))).astype(np.float32))
+    for ip0b, in0b in [(0, 0), (3, 1), ((n - batch) // tile_b,
+                                        (n - batch) // tile_b)]:
+        g_fused = fused_block_grad(
+            pos, neg, w, jnp.int32(ip0b), jnp.int32(in0b),
+            batch=batch, tile_b=tile_b, interpret=not ON_TPU)
+        g_ref = reference_block_grad(pos, neg, w, ip0b, in0b,
+                                     batch=batch, tile_b=tile_b)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=2e-5, atol=2e-4)
+
+
+def test_block_fused_training_converges():
+    """block_fused sampling must train to the same solution class as block
+    (planted informative features recovered)."""
+    rng = np.random.default_rng(12)  # pinned: suite-order independent
+    from opencv_dlco_tpu.data.synthetic import synth_pr_dataset
+    from opencv_dlco_tpu.models.pr_rda import pr_validate
+
+    pos, neg, info = synth_pr_dataset(rng, n_pos=1024, n_neg=1024,
+                                      n_feat=256, n_informative=12)
+    pos, neg = jnp.asarray(pos), jnp.asarray(neg)
+    mu = jnp.asarray([0.02], jnp.float32)
+    gamma = jnp.asarray([0.1], jnp.float32)
+    key = jax.random.PRNGKey(7)
+    state = pr_init(256, 1)
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        state = pr_train_chunk(pos, neg, mu, gamma, state, sub,
+                               batch=256, n_steps=32,
+                               sampling="block_fused")
+    _, _, obj, nnz = pr_validate(pos, neg, mu, state)
+    assert np.isfinite(float(obj[0]))
+    w = np.asarray(state.w[0])
+    assert w.max() > 0
+    # the informative features should dominate the learned weights
+    top = np.argsort(w)[-12:]
+    assert len(set(top.tolist()) & set(info.tolist())) >= 8
+
+
+def test_block_fused_falls_back_when_sweep_wide():
+    """S > 8 must silently use the XLA block path (same math)."""
+    rng = np.random.default_rng(13)  # pinned: suite-order independent
+    pos = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (512, 128))).astype(np.float32))
+    neg = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (512, 128))).astype(np.float32))
+    s = 16
+    mu = jnp.full((s,), 0.02, jnp.float32)
+    gamma = jnp.full((s,), 0.1, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    st_f = pr_train_chunk(pos, neg, mu, gamma, pr_init(128, s), key,
+                          batch=128, n_steps=4, sampling="block_fused")
+    st_b = pr_train_chunk(pos, neg, mu, gamma, pr_init(128, s), key,
+                          batch=128, n_steps=4, sampling="block")
+    np.testing.assert_allclose(np.asarray(st_f.w), np.asarray(st_b.w),
+                               rtol=1e-6)

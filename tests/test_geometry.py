@@ -234,3 +234,85 @@ def test_two_view_ba_robust_downweights_outliers(rng):
     dr = np.asarray(res.r) @ r.T
     ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
     assert ang < 0.5
+
+
+def test_sim3_pose_graph_absorbs_scale_drift(rng):
+    """Monocular odometry with multiplicative scale drift + one exact loop
+    edge: the SE(3) graph structurally cannot repair the drift, the Sim(3)
+    graph must (Strasdat-style scale-drift-aware PGO)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opencv_dlco_tpu.geometry.posegraph import (
+        optimize_pose_graph,
+        optimize_pose_graph_sim3,
+    )
+    from opencv_dlco_tpu.geometry.se3 import (
+        se3_compose,
+        se3_inverse,
+        so3_exp,
+    )
+    from opencv_dlco_tpu.pipeline.slam import ate_rmse
+
+    m = 24
+    # ground-truth poses on a circle (world_T_k)
+    rs, ts = [], []
+    for k in range(m):
+        th = 2 * np.pi * k / m
+        rs.append(np.asarray(so3_exp(jnp.asarray([0.0, 0.1 * np.sin(th),
+                                                  0.0]))))
+        ts.append(np.array([np.cos(th) - 1.0, np.sin(th), 0.05 * np.sin(th)]))
+    rs, ts = np.stack(rs), np.stack(ts)
+
+    # odometry edges with multiplicative scale drift on the translations
+    ei, ej, rz, tz = [], [], [], []
+    drift = 1.0
+    drifted_r, drifted_t = [rs[0]], [ts[0]]
+    for k in range(m - 1):
+        r_rel, t_rel = se3_compose(
+            *se3_inverse(jnp.asarray(rs[k]), jnp.asarray(ts[k])),
+            jnp.asarray(rs[k + 1]), jnp.asarray(ts[k + 1]))
+        drift *= 1.06
+        ei.append(k)
+        ej.append(k + 1)
+        rz.append(np.asarray(r_rel))
+        tz.append(np.asarray(t_rel) * drift)
+        # drifted initial trajectory = chained drifted edges
+        r_w, t_w = se3_compose(jnp.asarray(drifted_r[-1]),
+                               jnp.asarray(drifted_t[-1]),
+                               jnp.asarray(rz[-1]), jnp.asarray(tz[-1]))
+        drifted_r.append(np.asarray(r_w))
+        drifted_t.append(np.asarray(t_w))
+    # exact loop edges: several closures make the scale field observable
+    # along the chain (one closure constrains only the aggregate scale)
+    for (a, b) in [(0, m - 1), (0, 12), (6, 18), (3, 21)]:
+        r_loop, t_loop = se3_compose(
+            *se3_inverse(jnp.asarray(rs[a]), jnp.asarray(ts[a])),
+            jnp.asarray(rs[b]), jnp.asarray(ts[b]))
+        ei.append(a)
+        ej.append(b)
+        rz.append(np.asarray(r_loop))
+        tz.append(np.asarray(t_loop))
+
+    args = (jnp.asarray(np.stack(drifted_r), jnp.float32),
+            jnp.asarray(np.stack(drifted_t), jnp.float32),
+            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+            jnp.asarray(np.stack(rz), jnp.float32),
+            jnp.asarray(np.stack(tz), jnp.float32))
+    centers = ts  # gt positions
+
+    ate_init = ate_rmse(np.stack(drifted_t), centers, with_scale=True)
+    out_se3 = optimize_pose_graph(*args, n_iters=25)
+    ate_se3 = ate_rmse(np.asarray(out_se3.t), centers, with_scale=True)
+    out_sim3 = optimize_pose_graph_sim3(*args, n_iters=25)
+    ate_sim3 = ate_rmse(np.asarray(out_sim3.t), centers, with_scale=True)
+
+    assert np.all(np.isfinite(np.asarray(out_sim3.cost_history)))
+    # Sim(3) must repair what SE(3) cannot
+    assert ate_sim3 < 0.5 * ate_se3, \
+        f"sim3 {ate_sim3:.3f} vs se3 {ate_se3:.3f} (init {ate_init:.3f})"
+    assert ate_sim3 < 0.1, f"sim3 residual ATE {ate_sim3:.3f}"
+    # recovered scales must trend against the injected drift
+    s = np.asarray(out_sim3.s)
+    assert s[0] == pytest.approx(1.0, abs=1e-3)  # gauge
+    assert s[-1] < 0.65  # counteracting the accumulated 1.06^23 drift

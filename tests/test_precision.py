@@ -41,3 +41,43 @@ def test_config_precision_property():
     assert DescriptorConfig().precision == jax.lax.Precision.HIGHEST
     assert (DescriptorConfig(matmul_precision="default").precision
             == jax.lax.Precision.DEFAULT)
+
+
+def test_bf16_fpr95_delta_gate():
+    """End-metric gate (VERDICT r1 item 5): FPR95 computed from bf16-pooled
+    distances must agree with f32 on realistic matched/non-matched pairs.
+
+    Small-scale version of bench.bench_precision_fpr95 (which runs the full
+    40,960-filter bank + >=50k pairs on TPU and records the measured delta
+    in bench_details.json); this asserts the same pipeline + gate logic on
+    a reduced bank so the contract is exercised in CI regardless of
+    backend. (On CPU, DEFAULT precision is already f32, so the delta is ~0;
+    the hardware delta is the benchmark's job.)
+    """
+    from opencv_dlco_tpu.data.synthetic import synth_patch_pairs
+    from opencv_dlco_tpu.ops.roc import roc_stats
+
+    rng = np.random.default_rng(21)  # pinned: suite-order independent
+    _, _, filters = build_filter_bank(PoolRegionConfig(nr=8, nphi=2,
+                                                       nsigma=4))
+    f = jnp.asarray(filters)
+    n_rings = filters.shape[0] // 8
+    p1, p2, labels = synth_patch_pairs(rng, n_pairs=768)
+    w = np.ones(n_rings, np.float32)
+
+    out = {}
+    for label, prec in (("f32", jax.lax.Precision.HIGHEST),
+                        ("bf16", jax.lax.Precision.DEFAULT)):
+        pt1 = batch_patch_transform(jnp.asarray(p1))
+        pt2 = batch_patch_transform(jnp.asarray(p2))
+        rd = np.asarray(ring_distances(f, pt1, pt2, precision=prec))
+        fpr95, auc = roc_stats(jnp.asarray(rd @ w), jnp.asarray(labels))
+        out[label] = (float(fpr95) * 100.0, float(auc))
+    # the synthetic task must actually be discriminative, else the gate
+    # is vacuous
+    assert out["f32"][1] > 0.9, f"AUC {out['f32'][1]:.3f}: task too easy/hard"
+    assert out["f32"][0] < 50.0
+    d_fpr95 = abs(out["bf16"][0] - out["f32"][0])
+    d_auc = abs(out["bf16"][1] - out["f32"][1])
+    assert d_fpr95 < 2.0, f"bf16 shifts FPR95 by {d_fpr95:.2f}pp"
+    assert d_auc < 0.005

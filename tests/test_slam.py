@@ -11,8 +11,13 @@ from opencv_dlco_tpu.geometry.se3 import so3_exp
 from opencv_dlco_tpu.pipeline.slam import (
     SlamConfig,
     ate_rmse,
+    build_tracks,
+    compute_features,
+    detect_loop_closures,
     refine_with_pose_graph,
     run_odometry,
+    select_keyframes,
+    windowed_ba,
 )
 
 from test_sfm import _render_3d_blobs
@@ -67,3 +72,188 @@ def test_odometry_sequence(rng):
     refined = refine_with_pose_graph(res)
     ate2 = ate_rmse(refined.translations, centers_gt)
     assert ate2 < 0.2 * span  # pose graph keeps (or improves) the estimate
+
+
+def _loop_sequence(rng, n_frames=40, size=256, f=300.0, c=128.0,
+                   n_blobs=240, radius=1.5):
+    """Camera circling in the x-y plane (returning to its start pose) while
+    looking down +z at a blob field — a real loop for closure detection."""
+    pts3d = np.stack([
+        rng.uniform(-4, 4, n_blobs), rng.uniform(-4, 4, n_blobs),
+        rng.uniform(5, 12, n_blobs)
+    ], 1)
+    amps = rng.uniform(0.4, 1.0, n_blobs) * rng.choice([-1, 1], n_blobs)
+    sigmas = rng.uniform(2.0, 4.0, n_blobs)
+    frames, centers, rs_gt = [], [], []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        center = np.array([radius * (np.cos(th) - 1.0),
+                           radius * np.sin(th), 0.0])
+        yaw = 0.03 * np.sin(th)
+        r_wc = np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.0])))  # cam->world
+        r = r_wc.T                      # world -> cam
+        t = -r @ center
+        frames.append(_render_3d_blobs(pts3d, amps, sigmas, f, c, size,
+                                       r=r, t=t))
+        centers.append(center)
+        rs_gt.append(r_wc)
+    return frames, np.stack(centers), (f, f, c, c)
+
+
+def test_build_tracks_chains_pairs():
+    from opencv_dlco_tpu.pipeline.slam import PairEstimate
+
+    def pe(prev, nxt):
+        n = len(prev)
+        return PairEstimate(np.eye(3), np.zeros(3),
+                            np.asarray(prev), np.asarray(nxt),
+                            np.zeros((n, 3)), n)
+
+    # kp 1 tracks 0->1->2; kp 5 appears only in pair 1
+    pairs = [pe([1, 3], [2, 7]), pe([2, 5], [4, 6])]
+    tracks = build_tracks(pairs)
+    as_sets = sorted(tuple(t) for t in tracks)
+    assert ((0, 1), (1, 2), (2, 4)) in as_sets          # chained track
+    assert ((0, 3), (1, 7)) in as_sets                  # 2-frame track
+    assert ((1, 5), (2, 6)) in as_sets                  # late-starting track
+
+
+@requires_reference
+def test_slam_loop_closure_detected_and_ate():
+    """Flagship SLAM test (VERDICT r1 item 8): >=40-frame loop trajectory;
+    keyframes selected, loop closures DETECTED (not injected), windowed BA
+    refines odometry edges, pose graph fuses everything.
+
+    Dedicated rng (not the shared session fixture): the scene must not
+    depend on which tests ran before this one."""
+    frames, centers_gt, intr = _loop_sequence(np.random.default_rng(2215))
+    from opencv_dlco_tpu.models.vgg import VGGDescriptor
+
+    with open(f"{REFERENCE}/workspace/opencv/vgg_generated_64.i") as fh:
+        model = VGGDescriptor.from_header(fh.read())
+    cfg = SlamConfig(n_keypoints=256, kf_min_translation=2.5,
+                     kf_min_rotation=0.05, loop_gap=10,
+                     ba_window=6, ba_stride=3)
+
+    feats = compute_features(frames, model, cfg)
+    odo = run_odometry(frames, intr, model, cfg, feats=feats)
+    assert len(odo.pairs) == len(frames) - 1
+
+    kf = select_keyframes(odo, cfg)
+    assert kf[0] == 0 and kf[-1] == len(frames) - 1
+    assert 5 <= len(kf) <= len(frames)
+
+    loops = detect_loop_closures(feats, kf, odo, intr, cfg)
+    assert len(loops) >= 1, "no loop closure detected on a closed loop"
+    assert all(j - i >= cfg.loop_gap for i, j, _, _ in loops)
+    # the trajectory closes: at least one edge should tie the final quarter
+    # back to the first quarter
+    n = len(frames)
+    assert any(i < n // 4 and j > 3 * n // 4 for i, j, _, _ in loops)
+
+    overrides = windowed_ba(odo, feats, intr, cfg)
+    assert len(overrides) >= (n - 1) // 2, \
+        f"windowed BA refined only {len(overrides)} edges"
+    for r_z, t_z in overrides.values():
+        assert np.all(np.isfinite(r_z)) and np.all(np.isfinite(t_z))
+
+    # Sim(3) fusion (per-node scale states absorb monocular scale drift)
+    refined = refine_with_pose_graph(odo, loop_edges=loops,
+                                     odometry_overrides=overrides,
+                                     loop_weight=cfg.loop_weight,
+                                     n_iters=20, sim3=True)
+    span = float(np.linalg.norm(centers_gt.max(0) - centers_gt.min(0)))
+    ate_odo = ate_rmse(odo.translations, centers_gt)
+    ate_ref = ate_rmse(refined.translations, centers_gt)
+    assert ate_ref < 0.10 * span, \
+        f"ATE {ate_ref:.3f} vs span {span:.3f} (odometry ATE {ate_odo:.3f})"
+    # the full stack must beat raw odometry outright
+    assert ate_ref < ate_odo
+
+
+def test_kitti_loader_roundtrip(tmp_path, rng):
+    """KITTI odometry-format tree: calib + poses + frames load correctly."""
+    import cv2
+
+    from opencv_dlco_tpu.data.kitti import (
+        evaluate_against_gt,
+        intrinsics_from_projection,
+        load_sequence,
+        parse_calib,
+        parse_poses,
+    )
+
+    seq_dir = tmp_path / "sequences" / "07"
+    img_dir = seq_dir / "image_0"
+    img_dir.mkdir(parents=True)
+    (tmp_path / "poses").mkdir()
+
+    fx, fy, cx, cy = 718.856, 718.856, 607.1928, 185.2157
+    p0 = np.array([[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0]])
+    with open(seq_dir / "calib.txt", "w") as fh:
+        fh.write("P0: " + " ".join(f"{v:.12e}" for v in p0.ravel()) + "\n")
+        fh.write("P1: " + " ".join(f"{v:.12e}" for v in p0.ravel()) + "\n")
+
+    n = 5
+    imgs = [rng.integers(0, 255, (48, 64)).astype(np.uint8)
+            for _ in range(n)]
+    for i, img in enumerate(imgs):
+        assert cv2.imwrite(str(img_dir / f"{i:06d}.bmp"), img)
+
+    poses = np.zeros((n, 3, 4))
+    for i in range(n):
+        poses[i, :, :3] = np.eye(3)
+        poses[i, :, 3] = [i * 0.5, 0.0, i * 0.1]
+    with open(tmp_path / "poses" / "07.txt", "w") as fh:
+        for i in range(n):
+            fh.write(" ".join(f"{v:.9e}" for v in poses[i].ravel()) + "\n")
+    with open(seq_dir / "times.txt", "w") as fh:
+        for i in range(n):
+            fh.write(f"{0.1 * i:.6e}\n")
+
+    seq = load_sequence(str(tmp_path), "07")
+    assert len(seq) == n
+    assert seq.intrinsics == (fx, fy, cx, cy)
+    np.testing.assert_allclose(seq.poses, poses)
+    np.testing.assert_allclose(seq.gt_centers(), poses[:, :, 3])
+    np.testing.assert_array_equal(seq.load_frame(2), imgs[2])
+    assert seq.times is not None and seq.times.shape == (n,)
+
+    # parse helpers round-trip
+    calib = parse_calib(str(seq_dir / "calib.txt"))
+    assert intrinsics_from_projection(calib["P0"]) == (fx, fy, cx, cy)
+    assert parse_poses(str(tmp_path / "poses" / "07.txt")).shape == (n, 3, 4)
+
+    # evaluate a fake SlamResult against gt
+    from opencv_dlco_tpu.pipeline.slam import SlamResult
+    fake = SlamResult(rotations=np.tile(np.eye(3), (n, 1, 1)),
+                      translations=poses[:, :, 3] * 2.0)  # scaled copy
+    ev = evaluate_against_gt(fake, seq)
+    assert ev["ate_rmse"] < 1e-9  # similarity alignment absorbs scale
+    assert ev["n_frames"] == n
+
+    # max_frames truncation
+    seq3 = load_sequence(str(tmp_path), "07", max_frames=3)
+    assert len(seq3) == 3 and seq3.poses.shape[0] == 3
+
+
+@requires_reference
+def test_run_slam_public_api_smoke():
+    """run_slam end-to-end on a short open trajectory: keyframes + (empty)
+    loop set + windowed BA + pose graph, one call."""
+    from opencv_dlco_tpu.pipeline.slam import run_slam
+    from opencv_dlco_tpu.models.vgg import VGGDescriptor
+
+    frames, rs_gt, ts_gt, intr = _sequence(np.random.default_rng(31),
+                                           n_frames=6)
+    with open(f"{REFERENCE}/workspace/opencv/vgg_generated_64.i") as fh:
+        model = VGGDescriptor.from_header(fh.read())
+    cfg = SlamConfig(n_keypoints=192, loop_gap=50,  # no loops possible
+                     ba_window=4, ba_stride=2, kf_min_translation=1.5)
+    res = run_slam(frames, intr, model, cfg)
+    assert res.rotations.shape == (6, 3, 3)
+    assert len(res.loop_edges) == 0
+    assert res.keyframes[0] == 0 and res.keyframes[-1] == 5
+    centers_gt = np.stack([-rs_gt[i].T @ ts_gt[i] for i in range(6)])
+    span = np.linalg.norm(centers_gt[-1] - centers_gt[0])
+    assert ate_rmse(res.translations, centers_gt) < 0.2 * span

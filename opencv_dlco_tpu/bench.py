@@ -93,6 +93,18 @@ def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=4096, steps=64,
         out.update(fused_samples_per_sec=sps_f, fused_step_time=dt_f,
                    fused_vs_baseline=sps_f / BASELINE_PR_SAMPLES_PER_SEC,
                    fused_speedup_over_block=sps_f / samples_per_sec)
+        # bf16-resident splits: halves both HBM residency and bandwidth;
+        # quality-gated by tests/test_fused_rda.py (FPR95/AUC unchanged)
+        pos16 = pos.astype(jnp.bfloat16)
+        neg16 = neg.astype(jnp.bfloat16)
+        dt_f16 = _timeit(lambda: pr_train_chunk(
+            pos16, neg16, mu, gamma, state, key, batch=batch,
+            n_steps=steps, sampling="block_fused"))
+        sps_f16 = batch * steps / dt_f16
+        out.update(
+            fused_bf16_samples_per_sec=sps_f16,
+            fused_bf16_vs_baseline=sps_f16 / BASELINE_PR_SAMPLES_PER_SEC,
+            fused_bf16_speedup_over_block=sps_f16 / samples_per_sec)
     return out
 
 
@@ -186,8 +198,21 @@ def bench_stage3(n_pairs=512, pool_cfg=None):
 
     dt = _timeit(lambda: stage(f, patches), warmup=1, iters=3)
     pairs_per_sec = n_pairs / dt
-    return dict(pairs_per_sec=pairs_per_sec, block_time=dt,
-                n_filters=int(f.shape[0]))
+    out = dict(pairs_per_sec=pairs_per_sec, block_time=dt,
+               n_filters=int(f.shape[0]))
+    if jax.default_backend() == "tpu" and f.shape[0] % 1024 == 0:
+        from .ops.pair_distance_pallas import ring_distances_fused
+
+        @jax.jit
+        def stage_fused(flt, p):
+            pt = batch_patch_transform(p)
+            return ring_distances_fused(flt, pt[:n_pairs], pt[n_pairs:])
+
+        dt_f = _timeit(lambda: stage_fused(f, patches), warmup=1, iters=3)
+        out.update(fused_pairs_per_sec=n_pairs / dt_f,
+                   fused_block_time=dt_f,
+                   fused_speedup=dt / dt_f)
+    return out
 
 
 def bench_precision_fpr95(n_pairs=50_000, block=512, pool_cfg=None,

@@ -49,7 +49,10 @@ def _fused_kernel(ip_ref, in_ref_s, pos_ref, neg_ref, w_ref, g_ref):
     fd = pos_ref[...] - neg_ref[...]                       # (tile_b, F)
     f = jnp.dot(fd, w_ref[...].T,
                 preferred_element_type=jnp.float32)        # (tile_b, S)
-    viol = (f > -1.0).astype(jnp.float32)
+    # viol is exactly 0/1 so the input dtype (f32 or bf16) is lossless;
+    # keeping both dot operands in one dtype lets bf16 ride the MXU at
+    # double rate with f32 accumulation
+    viol = (f > -1.0).astype(fd.dtype)
     g_ref[...] += jnp.dot(viol.T, fd,
                           preferred_element_type=jnp.float32)
 
@@ -75,6 +78,7 @@ def fused_block_grad(pos: jax.Array, neg: jax.Array, w: jax.Array,
     n_tiles = batch // tile_b
     f_dim = pos.shape[1]
     s = w.shape[0]
+    w = w.astype(pos.dtype)  # one-dtype kernel; g accumulates f32 either way
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -134,6 +134,15 @@ class Workspace:
         labels = pair_labels(indices)
         bar = self._bar()
         blk = self.pair_block
+        # implementation choice: reference-parity runs (precision="highest")
+        # go through the XLA path; bf16-opted runs take the fused Pallas
+        # kernel on TPU (hardware-measured: 13.2k pairs/s vs 4.4k XLA-f32,
+        # end-metric dFPR95 = 0.0 — see ops/pair_distance_pallas.py)
+        use_fused = (jax.default_backend() == "tpu"
+                     and self.desc_cfg.matmul_precision != "highest"
+                     and int(filters.shape[0]) % 1024 == 0)
+        if use_fused:
+            from ..ops.pair_distance_pallas import ring_distances_fused
         with ArtifactStore(out, "w") as st:
             st.write("Label", labels.reshape(-1, 1))
             st.create("Distance", (n_pairs, n_rings), np.float32)
@@ -143,9 +152,13 @@ class Workspace:
                 p2 = jnp.asarray(patches[indices[s:e, 2]])
                 pt1 = batch_patch_transform(p1, self.desc_cfg)
                 pt2 = batch_patch_transform(p2, self.desc_cfg)
-                d = np.asarray(ring_distances(
-                    filters, pt1, pt2,
-                    precision=self.desc_cfg.precision))
+                if use_fused:
+                    d = np.asarray(ring_distances_fused(
+                        filters, pt1, pt2, bf16=True))
+                else:
+                    d = np.asarray(ring_distances(
+                        filters, pt1, pt2,
+                        precision=self.desc_cfg.precision))
                 if not np.all(np.isfinite(d)):
                     raise FloatingPointError(
                         f"Distance contains NaN/Inf in rows [{s}, {e})"

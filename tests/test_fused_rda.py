@@ -76,3 +76,67 @@ def test_block_fused_falls_back_when_sweep_wide():
                           batch=128, n_steps=4, sampling="block")
     np.testing.assert_allclose(np.asarray(st_f.w), np.asarray(st_b.w),
                                rtol=1e-6)
+
+
+def test_fused_block_grad_bf16_inputs():
+    """bf16-resident training splits through the fused kernel: halves both
+    HBM residency (Brown scale: 8.2 -> 4.1 GiB) and step bandwidth. The
+    subgradient must match the f32 oracle computed on the SAME quantized
+    values (bf16 storage is the only approximation; accumulation is f32)."""
+    rng = np.random.default_rng(14)
+    n, f, batch, tile_b = 1024, 384, 256, 128
+    pos16 = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (n, f))).astype(np.float32)).astype(jnp.bfloat16)
+    neg16 = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (n, f))).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(np.abs(rng.normal(0, 0.1, (1, f))).astype(np.float32))
+    g16 = fused_block_grad(pos16, neg16, w.astype(jnp.bfloat16),
+                           jnp.int32(2), jnp.int32(4),
+                           batch=batch, tile_b=tile_b, interpret=not ON_TPU)
+    g_ref = reference_block_grad(pos16.astype(jnp.float32),
+                                 neg16.astype(jnp.float32), w, 2, 4,
+                                 batch=batch, tile_b=tile_b)
+    assert g16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g_ref),
+                               rtol=5e-3, atol=0.5)
+
+
+def test_bf16_resident_training_quality():
+    """Training on bf16-quantized splits must reach the same FPR95/AUC and
+    support as f32 (the storage quantization is ~0.4% relative — far below
+    the hinge decision margins)."""
+    from opencv_dlco_tpu.data.synthetic import synth_pr_dataset
+    from opencv_dlco_tpu.ops.roc import roc_stats
+
+    rng = np.random.default_rng(15)
+    pos, neg, info = synth_pr_dataset(rng, n_pos=1024, n_neg=1024,
+                                      n_feat=256, n_informative=12)
+    mu = jnp.asarray([0.02], jnp.float32)
+    gamma = jnp.asarray([0.1], jnp.float32)
+
+    def train(p, n_):
+        st = pr_init(256, 1)
+        key = jax.random.PRNGKey(7)
+        for _ in range(4):
+            key, sub = jax.random.split(key)
+            st = pr_train_chunk(p, n_, mu, gamma, st, sub,
+                                batch=256, n_steps=48,
+                                sampling="block_fused")
+        return np.asarray(st.w[0])
+
+    def quality(w):
+        d = jnp.concatenate([jnp.asarray(pos) @ w, jnp.asarray(neg) @ w])
+        lab = jnp.concatenate([jnp.ones(len(pos)), jnp.zeros(len(neg))])
+        fpr95, auc = roc_stats(d, lab)
+        return float(fpr95) * 100, float(auc)
+
+    w32 = train(jnp.asarray(pos), jnp.asarray(neg))
+    w16 = train(jnp.asarray(pos).astype(jnp.bfloat16),
+                jnp.asarray(neg).astype(jnp.bfloat16))
+    f32q, a32 = quality(jnp.asarray(w32))
+    f16q, a16 = quality(jnp.asarray(w16))
+    assert abs(f16q - f32q) < 1.0, f"bf16 FPR95 {f16q:.2f} vs f32 {f32q:.2f}"
+    assert abs(a16 - a32) < 0.01
+    k = int(min(12, (w32 > 0).sum(), (w16 > 0).sum()))
+    assert k >= 3
+    sup32 = set(np.argsort(w32)[-k:].tolist())
+    sup16 = set(np.argsort(w16)[-k:].tolist())
+    assert len(sup32 & sup16) >= int(0.7 * k)

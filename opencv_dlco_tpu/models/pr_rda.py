@@ -55,7 +55,8 @@ def pr_init(n_feat: int, n_sweep: int = 1) -> PRState:
     )
 
 
-def _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling, state, key):
+def _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling, state, key,
+             precision=_HIGHEST):
     """One batched RDA step; mu/gamma are (S,) arrays.
 
     sampling="gather": i.i.d. row sampling with replacement (reference
@@ -72,27 +73,8 @@ def _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling, state, key):
     kp, kn = jax.random.split(key)
     n_pos = pos_trn.shape[0]
     n_neg = neg_trn.shape[0]
-    s_dim = state.w.shape[0]
-    tile_b = 128
-    if (sampling == "block_fused" and batch % tile_b == 0
-            and batch < min(n_pos, n_neg) and s_dim <= 8):
-        from ..ops.fused_rda import fused_block_grad
-
-        ip0b = jax.random.randint(kp, (), 0, (n_pos - batch) // tile_b + 1)
-        in0b = jax.random.randint(kn, (), 0, (n_neg - batch) // tile_b + 1)
-        g = fused_block_grad(
-            pos_trn, neg_trn, state.w, ip0b, in0b, batch=batch,
-            tile_b=tile_b, interpret=jax.default_backend() != "tpu")
-        t_new = state.t + batch
-        tf = state.t.astype(jnp.float32)
-        tnf = t_new.astype(jnp.float32)
-        df_avg = (tf * state.df_avg + g) / tnf
-        w = jnp.maximum(
-            0.0, -jnp.sqrt(tnf) / gamma[:, None] * (df_avg + mu[:, None])
-        )
-        return PRState(w=w, df_avg=df_avg, t=t_new)
     if sampling == "block_fused":
-        sampling = "block"
+        sampling = "block"  # fused handling lives in pr_train_chunk
     # block mode needs at least one full block per side; tiny datasets
     # (shapes are static, so this resolves at trace time) fall back to gather
     if sampling == "block" and batch < min(n_pos, n_neg):
@@ -106,9 +88,9 @@ def _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling, state, key):
         ip = jax.random.randint(kp, (batch,), 0, n_pos)
         ineg = jax.random.randint(kn, (batch,), 0, n_neg)
         fd = pos_trn[ip] - neg_trn[ineg]                  # (B, F)
-    f = jnp.matmul(fd, state.w.T, precision=_HIGHEST)     # (B, S)
+    f = jnp.matmul(fd, state.w.T, precision=precision)    # (B, S)
     viol = (f > -1.0).astype(jnp.float32)
-    g = jnp.matmul(viol.T, fd, precision=_HIGHEST)        # (S, F)
+    g = jnp.matmul(viol.T, fd, precision=precision)       # (S, F)
     t_new = state.t + batch
     tf = state.t.astype(jnp.float32)
     tnf = t_new.astype(jnp.float32)
@@ -119,18 +101,44 @@ def _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling, state, key):
     return PRState(w=w, df_avg=df_avg, t=t_new)
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "n_steps", "sampling"))
+@functools.partial(jax.jit, static_argnames=("batch", "n_steps", "sampling",
+                                             "precision"))
 def pr_train_chunk(pos_trn: jax.Array, neg_trn: jax.Array,
                    mu: jax.Array, gamma: jax.Array,
                    state: PRState, key: jax.Array,
                    *, batch: int, n_steps: int,
-                   sampling: str = "gather") -> PRState:
-    """Run n_steps batched RDA steps (n_steps * batch reference iterations)."""
+                   sampling: str = "gather",
+                   precision=_HIGHEST) -> PRState:
+    """Run n_steps batched RDA steps (n_steps * batch reference iterations).
+
+    ``precision`` applies to the two step matmuls: HIGHEST (default) is
+    true-f32 6-pass; DEFAULT runs them as bf16 multiplies with f32
+    accumulation — the hinge gate (f > -1) tolerates ~1e-3 relative error
+    in f by the same margin argument as the distance pipeline (end-metric
+    gate measured at dFPR95 = 0; see tests/test_sweep.py precision study),
+    and df_avg/w stay float32 throughout.
+    """
+    tile_b = 128
+    if (sampling == "block_fused" and batch % tile_b == 0
+            and batch < min(pos_trn.shape[0], neg_trn.shape[0])
+            and state.w.shape[0] <= 8):
+        # the whole chunk runs as ONE Pallas kernel: n_steps sampled
+        # blocks stream through VMEM, the RDA update executes in-core at
+        # each step's last tile, the iterate never round-trips HBM
+        # (ops/fused_rda.fused_block_train)
+        from ..ops.fused_rda import fused_block_train
+
+        w, df_avg, t = fused_block_train(
+            pos_trn, neg_trn, state.w, state.df_avg, state.t, mu, gamma,
+            key, batch=batch, n_steps=n_steps, tile_b=tile_b,
+            interpret=jax.default_backend() != "tpu")
+        return PRState(w=w, df_avg=df_avg, t=t)
+
     keys = jax.random.split(key, n_steps)
 
     def body(st, k):
         return _pr_step(pos_trn, neg_trn, mu, gamma, batch, sampling,
-                        st, k), None
+                        st, k, precision), None
 
     state, _ = jax.lax.scan(body, state, keys)
     return state

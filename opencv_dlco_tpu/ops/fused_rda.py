@@ -109,3 +109,118 @@ def reference_block_grad(pos, neg, w, ip0_blk, in0_blk, *, batch,
     f = jnp.matmul(fd, w.T, precision=jax.lax.Precision.HIGHEST)
     viol = (f > -1.0).astype(jnp.float32)
     return jnp.matmul(viol.T, fd, precision=jax.lax.Precision.HIGHEST)
+
+
+# -- whole-chunk fusion: n_steps RDA iterations in ONE kernel launch -------
+
+def _fused_train_kernel(offs_ref, scal_ref, pos_ref, neg_ref,
+                        w_init_ref, df_init_ref, mu_ref, gamma_ref,
+                        w_out_ref, df_out_ref, w_s, df_s, g_s):
+    """Grid (n_steps, n_tiles): tiles stream one sampled block per step;
+    the RDA update runs in VMEM at each step's last tile. The iterate
+    (w, df_avg) never touches HBM between steps — the per-step dispatch
+    and state round-trips of the scan path are gone entirely.
+
+    scal_ref[0] = t0 (samples already consumed), scal_ref[1] = batch.
+    """
+    step = pl.program_id(0)
+    tile = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    n_steps = pl.num_programs(0)
+
+    @pl.when((step == 0) & (tile == 0))
+    def _():
+        w_s[...] = w_init_ref[...]
+        df_s[...] = df_init_ref[...]
+
+    @pl.when(tile == 0)
+    def _():
+        g_s[...] = jnp.zeros_like(g_s)
+
+    fd = pos_ref[...] - neg_ref[...]
+    f = jnp.dot(fd, w_s[...].astype(fd.dtype).T,
+                preferred_element_type=jnp.float32)
+    viol = (f > -1.0).astype(fd.dtype)
+    g_s[...] += jnp.dot(viol.T, fd, preferred_element_type=jnp.float32)
+
+    @pl.when(tile == n_tiles - 1)
+    def _():
+        t0 = scal_ref[0].astype(jnp.float32)
+        batch_f = scal_ref[1].astype(jnp.float32)
+        tf = t0 + step.astype(jnp.float32) * batch_f
+        tnf = tf + batch_f
+        df_new = (tf * df_s[...] + g_s[...]) / tnf
+        df_s[...] = df_new
+        w_s[...] = jnp.maximum(
+            0.0,
+            -jnp.sqrt(tnf) / gamma_ref[...] * (df_new + mu_ref[...]))
+
+    @pl.when((step == n_steps - 1) & (tile == n_tiles - 1))
+    def _():
+        w_out_ref[...] = w_s[...]
+        df_out_ref[...] = df_s[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "n_steps", "tile_b",
+                                    "interpret"))
+def fused_block_train(pos: jax.Array, neg: jax.Array,
+                      w: jax.Array, df_avg: jax.Array, t: jax.Array,
+                      mu: jax.Array, gamma: jax.Array, key: jax.Array, *,
+                      batch: int, n_steps: int, tile_b: int = 128,
+                      interpret: bool = False):
+    """n_steps fused RDA block steps; returns (w, df_avg, t_new).
+
+    Semantically identical to scanning the single-step path with the same
+    tile-aligned offsets; offsets for every step are drawn here from
+    ``key`` exactly like _pr_step's block mode (one split per step)."""
+    if batch % tile_b:
+        raise ValueError(f"batch {batch} not a multiple of tile_b {tile_b}")
+    n_tiles = batch // tile_b
+    f_dim = pos.shape[1]
+    s = w.shape[0]
+    n_pos, n_neg = pos.shape[0], neg.shape[0]
+
+    keys = jax.random.split(key, n_steps)
+
+    def draw(k):
+        kp, kn = jax.random.split(k)
+        ip = jax.random.randint(kp, (), 0, (n_pos - batch) // tile_b + 1)
+        ineg = jax.random.randint(kn, (), 0, (n_neg - batch) // tile_b + 1)
+        return jnp.stack([ip, ineg]).astype(jnp.int32)
+
+    offs = jax.vmap(draw)(keys)                            # (n_steps, 2)
+    scal = jnp.asarray([t, jnp.int32(batch)], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_b, f_dim),
+                         lambda s_, i, offs, sc: (offs[s_, 0] + i, 0)),
+            pl.BlockSpec((tile_b, f_dim),
+                         lambda s_, i, offs, sc: (offs[s_, 1] + i, 0)),
+            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
+            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
+            pl.BlockSpec((s, 1), lambda s_, i, offs, sc: (0, 0)),
+            pl.BlockSpec((s, 1), lambda s_, i, offs, sc: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
+            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, f_dim), jnp.float32),
+            pltpu.VMEM((s, f_dim), jnp.float32),
+            pltpu.VMEM((s, f_dim), jnp.float32),
+        ],
+    )
+    w_out, df_out = pl.pallas_call(
+        _fused_train_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((s, f_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((s, f_dim), jnp.float32)],
+        interpret=interpret,
+    )(offs, scal, pos, neg, w, df_avg,
+      mu.reshape(s, 1), gamma.reshape(s, 1))
+    return w_out, df_out, t + jnp.int32(batch * n_steps)

@@ -240,3 +240,57 @@ def pj_train_chunk_sharded(mesh: Mesh, pos_trn, neg_trn, mu, gamma,
     )(pos_trn, neg_trn, mu, gamma, state.w, state.a, state.df_avg,
       state.basis, state.t, key)
     return PJState(w=w, a=a, df_avg=df, basis=basis, t=t)
+
+
+# -- pod-level sweep: hyperparameter axis sharded over devices -------------
+
+def sweep_state_sharding(mesh: Mesh) -> NamedSharding:
+    """Sweep-entry axis S over dp; feature axis replicated."""
+    return NamedSharding(mesh, P(data_axis, None))
+
+
+def shard_sweep(mesh: Mesh, mus, gammas, state: PRState):
+    """Lay a PR sweep out for pod execution: the S axis (hyperparameter
+    combos) shards over ``dp``, training data stays replicated per device
+    (each chip holds the splits once — the Brown-scale residency plan is
+    per-chip). Zero collectives: the sweep is the embarrassingly parallel
+    pod workload SURVEY.md §5 assigns to the reference's 768-run bash grid.
+
+    S must be divisible by the dp size (pad the grid with dummy combos if
+    not — their artifacts are simply ignored).
+    """
+    n_dp = mesh.shape[data_axis]
+    s = state.w.shape[0]
+    if s % n_dp:
+        raise ValueError(f"sweep width {s} not divisible by dp={n_dp}; "
+                         f"pad the grid")
+    sh = sweep_state_sharding(mesh)
+    vec = NamedSharding(mesh, P(data_axis))
+    return (jax.device_put(mus, vec), jax.device_put(gammas, vec),
+            PRState(w=jax.device_put(state.w, sh),
+                    df_avg=jax.device_put(state.df_avg, sh),
+                    t=jax.device_put(state.t, replicated(mesh))))
+
+
+def pr_sweep_chunk_sharded(mesh: Mesh, pos_trn, neg_trn, mus, gammas,
+                           state: PRState, key, *, batch: int,
+                           n_steps: int, sampling: str = "gather",
+                           precision=None):
+    """pr_train_chunk with the sweep axis GSPMD-sharded over dp.
+
+    Same program, same RNG stream, bit-identical results to the
+    single-device sweep (GSPMD only partitions the matmuls); data is
+    replicated, every step's (B,F)x(F,S/dp) partial runs locally.
+    """
+    from ..models.pr_rda import pr_train_chunk
+
+    rep = replicated(mesh)
+    pos_trn = jax.device_put(pos_trn, rep)
+    neg_trn = jax.device_put(neg_trn, rep)
+    mus, gammas, state = shard_sweep(mesh, mus, gammas, state)
+    kw = {}
+    if precision is not None:
+        kw["precision"] = precision
+    return pr_train_chunk(pos_trn, neg_trn, mus, gammas, state, key,
+                          batch=batch, n_steps=n_steps, sampling=sampling,
+                          **kw)

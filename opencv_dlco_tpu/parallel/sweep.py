@@ -103,10 +103,13 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
     data = ws._load_split(
         dist_path or ws.path("distances", f"{ds}-dist.h5"),
         base.train_frac, base.seed)
+    # budget computed at f32 size — a safe overestimate when split_dtype
+    # is bf16 (residency halves after the cast below)
     check_device_budget(
         {k: nbytes(v) for k, v in data.items()}, f"pr_sweep[{ds}]")
-    pos_trn = jnp.asarray(data["pos_trn"])
-    neg_trn = jnp.asarray(data["neg_trn"])
+    split_dt = jnp.bfloat16 if base.split_dtype == "bf16" else jnp.float32
+    pos_trn = jnp.asarray(data["pos_trn"]).astype(split_dt)
+    neg_trn = jnp.asarray(data["neg_trn"]).astype(split_dt)
     pos_val = jnp.asarray(data["pos_val"])
     neg_val = jnp.asarray(data["neg_val"])
     del data
@@ -116,7 +119,9 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
     steps_per_log = max(1, base.log_step // base.batch)
     n_logs = max(1, base.n_iter // (steps_per_log * base.batch))
     signature = _sweep_signature(combos, base, n_feat,
-                                 {"sampling": base.sampling})
+                                 {"sampling": base.sampling,
+                                  "matmul_precision": base.matmul_precision,
+                                  "split_dtype": base.split_dtype})
 
     ckpt_path = ws.path("pr-learn", f"{ds}-sweep-ckpt.h5")
     done_logs = 0
@@ -160,7 +165,8 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
             key, sub = jax.random.split(key)
             state = pr_train_chunk(pos_trn, neg_trn, mus, gammas, state, sub,
                                    batch=base.batch, n_steps=steps_per_log,
-                                   sampling=base.sampling)
+                                   sampling=base.sampling,
+                                   precision=base.precision)
             loss, regul, obj, nnz = pr_validate(pos_val, neg_val, mus, state)
             _check_finite(obj, f"pr_sweep[{ds}]", int(state.t))
             improved, best_obj, best_w = _track_best(obj, best_obj,

@@ -29,6 +29,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import functools
+
 import numpy as np
 
 import jax
@@ -93,22 +95,52 @@ class SlamResult:
         field(default_factory=list)
 
 
-def compute_features(frames, model: VGGDescriptor, cfg: SlamConfig):
+def compute_features(frames, model: VGGDescriptor, cfg: SlamConfig,
+                     chunk: int = 8):
     """Detect + describe every frame once; shared by all downstream stages.
 
     Keypoint coordinates are sub-pixel refined (parabolic fit) — at the
     ~9 px disparities of consecutive frames, integer centres alone put
     >10% noise on triangulated depths, which poisons monocular scale
-    propagation."""
+    propagation.
+
+    Frames are processed in vmapped chunks: detection batches over the
+    frame axis and description runs as ONE (chunk * K)-patch program —
+    the KITTI-scale throughput path (a per-frame Python loop would leave
+    the MXU idle between small dispatches)."""
+    frames = [np.asarray(f) for f in frames]
     feats = []
-    for f in frames:
-        img = jnp.asarray(f)
-        _, yx, valid, yx_f = detect_corners(img, k=cfg.n_keypoints,
-                                            subpixel=True)
-        desc = model.describe(extract_patches(img, yx))
-        big = jnp.float32(1e6)
-        desc = jnp.where(valid[:, None], desc, big)
-        feats.append((np.asarray(yx_f), np.asarray(desc), np.asarray(valid)))
+    big = jnp.float32(1e6)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def detect_chunk(imgs, k):
+        def one(img):
+            _, yx, valid, yx_f = detect_corners(img, k=k, subpixel=True)
+            return yx, valid, yx_f
+
+        return jax.vmap(one)(imgs)
+
+    i = 0
+    while i < len(frames):
+        # uniform-shape run starting at i (vmap needs equal frame sizes)
+        j = i + 1
+        while (j < len(frames) and j - i < chunk
+               and frames[j].shape == frames[i].shape):
+            j += 1
+        imgs = jnp.asarray(np.stack(frames[i:j]))
+        yx, valid, yx_f = detect_chunk(imgs, cfg.n_keypoints)
+        patches = jax.vmap(extract_patches)(imgs, yx)     # (C, K, P, P)
+        c, k_pts = patches.shape[:2]
+        desc = model.describe(patches.reshape((c * k_pts,)
+                                              + patches.shape[2:]))
+        desc = desc.reshape(c, k_pts, -1)
+        desc = jnp.where(valid[..., None], desc, big)
+        yx_f_np = np.asarray(yx_f)
+        desc_np = np.asarray(desc)
+        valid_np = np.asarray(valid)
+        for m in range(c):
+            feats.append((yx_f_np[m], desc_np[m], valid_np[m]))
+        i = j
     return feats
 
 

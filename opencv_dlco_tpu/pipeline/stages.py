@@ -252,7 +252,10 @@ class Workspace:
             {k: nbytes(v) for k, v in data.items()}, f"prlearn[{run}]")
         splits = {k: jnp.asarray(v) for k, v in data.items()}
         del data
-        pos_trn, neg_trn = splits["pos_trn"], splits["neg_trn"]
+        split_dt = (jnp.bfloat16 if cfg.split_dtype == "bf16"
+                    else jnp.float32)
+        pos_trn = splits["pos_trn"].astype(split_dt)
+        neg_trn = splits["neg_trn"].astype(split_dt)
         pos_val, neg_val = splits["pos_val"], splits["neg_val"]
 
         mu = jnp.asarray([cfg.mu], jnp.float32)
@@ -283,7 +286,8 @@ class Workspace:
                 state = pr_train_chunk(pos_trn, neg_trn, mu, gamma, state,
                                        sub, batch=cfg.batch,
                                        n_steps=steps_per_log,
-                                       sampling=cfg.sampling)
+                                       sampling=cfg.sampling,
+                                       precision=cfg.precision)
                 jax.block_until_ready(state.w)
                 t_train = time.perf_counter() - t_train0
                 t_val0 = time.perf_counter()

@@ -80,8 +80,27 @@ class PRLearnConfig:
     n_angle_bins: int = 8
     # "block": random contiguous blocks of the pre-shuffled rows (sequential
     # HBM reads, ~2.5x faster); "gather": i.i.d. with replacement
-    # (reference semantics). Convergence-equivalent (tests/test_pr_sampling).
+    # (reference semantics); "block_fused": block mode through the fused
+    # Pallas step (ops/fused_rda.py, S<=8 only — sweeps fall back to
+    # "block"). Convergence-equivalent (tests/test_pr_sampling,
+    # tests/test_fused_rda).
     sampling: str = "block"
+    # "highest": true-f32 step matmuls (reference numerics); "default":
+    # bf16 multiplies + f32 accumulation (selection-metric-equivalent,
+    # tests/test_sweep.py precision study; ~25% faster sweeps).
+    matmul_precision: str = "highest"
+    # "f32" | "bf16": dtype of the device-resident training splits. bf16
+    # halves HBM residency (Brown scale 8.2 -> 4.1 GiB) and feeds the MXU
+    # at double rate; quality gated in tests/test_fused_rda.py.
+    split_dtype: str = "f32"
+
+    @property
+    def precision(self):
+        import jax
+
+        return (jax.lax.Precision.HIGHEST
+                if self.matmul_precision == "highest"
+                else jax.lax.Precision.DEFAULT)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -140,3 +140,50 @@ def test_bf16_resident_training_quality():
     sup32 = set(np.argsort(w32)[-k:].tolist())
     sup16 = set(np.argsort(w16)[-k:].tolist())
     assert len(sup32 & sup16) >= int(0.7 * k)
+
+
+def test_fused_block_train_matches_stepwise():
+    """The whole-chunk kernel (n_steps in one launch) must match scanning
+    the single-step fused path: same RNG stream, same offsets, same
+    update math."""
+    from opencv_dlco_tpu.ops.fused_rda import fused_block_train
+
+    rng = np.random.default_rng(16)
+    n, f, batch, tile_b, n_steps = 1024, 384, 256, 128, 5
+    pos = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (n, f))).astype(np.float32))
+    neg = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (n, f))).astype(np.float32))
+    mu = jnp.asarray([0.02], jnp.float32)
+    gamma = jnp.asarray([0.1], jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    w, df, t = fused_block_train(pos, neg,
+                                 jnp.zeros((1, f), jnp.float32),
+                                 jnp.zeros((1, f), jnp.float32),
+                                 jnp.int32(0), mu, gamma, key,
+                                 batch=batch, n_steps=n_steps,
+                                 tile_b=tile_b, interpret=not ON_TPU)
+    assert int(t) == batch * n_steps
+
+    # stepwise reference with the identical per-step offset draws
+    w_r = jnp.zeros((1, f), jnp.float32)
+    df_r = jnp.zeros((1, f), jnp.float32)
+    t_r = 0
+    hi_p = (n - batch) // tile_b + 1
+    for k in jax.random.split(key, n_steps):
+        kp, kn = jax.random.split(k)
+        ip0 = int(jax.random.randint(kp, (), 0, hi_p)) * tile_b
+        in0 = int(jax.random.randint(kn, (), 0, hi_p)) * tile_b
+        fd = (jax.lax.dynamic_slice(pos, (ip0, 0), (batch, f))
+              - jax.lax.dynamic_slice(neg, (in0, 0), (batch, f)))
+        fv = jnp.matmul(fd, w_r.T, precision=jax.lax.Precision.HIGHEST)
+        viol = (fv > -1.0).astype(jnp.float32)
+        g = jnp.matmul(viol.T, fd, precision=jax.lax.Precision.HIGHEST)
+        tn = t_r + batch
+        df_r = (t_r * df_r + g) / tn
+        w_r = jnp.maximum(0.0, -jnp.sqrt(float(tn)) / gamma[:, None]
+                          * (df_r + mu[:, None]))
+        t_r = tn
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_r),
+                               rtol=3e-5, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_r),
+                               rtol=3e-5, atol=3e-4)

@@ -188,3 +188,41 @@ def test_distributed_init_env_driven(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
     distributed.distributed_init()
     assert called == {"addr": "localhost:9", "n": 2, "pid": 0}
+
+
+def test_pr_sweep_sharded_over_dp_matches_single_device():
+    """Pod-level sweep: S=32 combos sharded over dp=8 must produce
+    BIT-identical states to the unsharded program (GSPMD partitions the
+    matmuls; semantics unchanged), with zero collectives needed."""
+    import jax
+    import jax.numpy as jnp
+
+    from opencv_dlco_tpu.models.pr_rda import pr_init, pr_train_chunk
+    from opencv_dlco_tpu.parallel.mesh import make_mesh
+    from opencv_dlco_tpu.parallel.sharding import pr_sweep_chunk_sharded
+
+    rng = np.random.default_rng(41)
+    pos = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (512, 256))).astype(np.float32))
+    neg = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (512, 256))).astype(np.float32))
+    s = 32
+    mus = jnp.linspace(0.005, 0.05, s).astype(jnp.float32)
+    gammas = jnp.linspace(0.02, 0.2, s).astype(jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    st_ref = pr_train_chunk(pos, neg, mus, gammas, pr_init(256, s), key,
+                            batch=128, n_steps=6)
+    mesh = make_mesh(dp=8, mp=1)
+    st_sh = pr_sweep_chunk_sharded(mesh, pos, neg, mus, gammas,
+                                   pr_init(256, s), key,
+                                   batch=128, n_steps=6)
+    # sharded over dp: each device holds 4 sweep entries
+    shard_shapes = {sd.data.shape for sd in st_sh.w.addressable_shards}
+    assert shard_shapes == {(4, 256)}
+    np.testing.assert_array_equal(np.asarray(st_sh.w), np.asarray(st_ref.w))
+    np.testing.assert_array_equal(np.asarray(st_sh.df_avg),
+                                  np.asarray(st_ref.df_avg))
+
+    # indivisible sweep width is rejected with guidance
+    from opencv_dlco_tpu.parallel.sharding import shard_sweep
+    with pytest.raises(ValueError, match="pad the grid"):
+        shard_sweep(mesh, mus[:30], gammas[:30], pr_init(256, 30))

@@ -257,3 +257,24 @@ def test_run_slam_public_api_smoke():
     centers_gt = np.stack([-rs_gt[i].T @ ts_gt[i] for i in range(6)])
     span = np.linalg.norm(centers_gt[-1] - centers_gt[0])
     assert ate_rmse(res.translations, centers_gt) < 0.2 * span
+
+
+@requires_reference
+def test_compute_features_batched_matches_per_frame():
+    """The vmapped-chunk front-end must produce the same features as a
+    per-frame loop (chunk=1 degenerates to it)."""
+    from opencv_dlco_tpu.models.vgg import VGGDescriptor
+    from opencv_dlco_tpu.pipeline.slam import compute_features
+
+    frames, _, _, _ = _sequence(np.random.default_rng(33), n_frames=4,
+                                size=256, c=128.0)
+    with open(f"{REFERENCE}/workspace/opencv/vgg_generated_64.i") as fh:
+        model = VGGDescriptor.from_header(fh.read())
+    cfg = SlamConfig(n_keypoints=128)
+    f_batch = compute_features(frames, model, cfg, chunk=4)
+    f_single = compute_features(frames, model, cfg, chunk=1)
+    assert len(f_batch) == len(f_single) == 4
+    for (yx_b, d_b, v_b), (yx_s, d_s, v_s) in zip(f_batch, f_single):
+        np.testing.assert_array_equal(v_b, v_s)
+        np.testing.assert_allclose(yx_b, yx_s, atol=1e-6)
+        np.testing.assert_allclose(d_b, d_s, rtol=1e-5, atol=1e-6)

@@ -211,3 +211,37 @@ def test_batched_rda_insensitive_to_batch_size():
         assert k >= 3
         assert len(sup & set(info.tolist())) >= int(0.7 * k), \
             f"support {sorted(sup)} vs informative {sorted(info.tolist())}"
+
+
+def test_rda_precision_mode_quality():
+    """DEFAULT (bf16-multiply) step matmuls must reach the same FPR95/AUC
+    and support as HIGHEST: only the hinge gate f > -1 consumes the
+    lower-precision product (~1e-3 relative), far inside the decision
+    margins — same argument, same gate as the stage-3 bf16 study. (On CPU
+    DEFAULT is already f32; the hardware numbers live in
+    bench_details.json pr_sweep_precision.)"""
+    from opencv_dlco_tpu.data.synthetic import synth_pr_dataset
+    from opencv_dlco_tpu.models.pr_rda import pr_init, pr_train_chunk
+
+    rng = np.random.default_rng(2215)
+    pos, neg, info = synth_pr_dataset(rng, n_pos=1536, n_neg=1536,
+                                      n_feat=256, n_informative=12)
+    pos, neg = jnp.asarray(pos), jnp.asarray(neg)
+    mu = jnp.asarray([0.02], jnp.float32)
+    gamma = jnp.asarray([0.1], jnp.float32)
+    outs = {}
+    for label, prec in (("hi", jax.lax.Precision.HIGHEST),
+                        ("lo", jax.lax.Precision.DEFAULT)):
+        st = pr_train_chunk(pos, neg, mu, gamma, pr_init(256, 1),
+                            jax.random.PRNGKey(3), batch=512,
+                            n_steps=400, precision=prec)
+        w = np.asarray(st.w[0])
+        outs[label] = (_pr_quality(pos, neg, jnp.asarray(w)), w)
+    (f_hi, a_hi), w_hi = outs["hi"]
+    (f_lo, a_lo), w_lo = outs["lo"]
+    assert abs(f_hi - f_lo) < 1.0
+    assert abs(a_hi - a_lo) < 0.01
+    k = int(min(12, (w_hi > 0).sum(), (w_lo > 0).sum()))
+    assert k >= 3
+    assert len(set(np.argsort(w_hi)[-k:].tolist())
+               & set(np.argsort(w_lo)[-k:].tolist())) >= int(0.7 * k)

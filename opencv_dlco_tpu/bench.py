@@ -425,6 +425,68 @@ def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
     return out
 
 
+def bench_slam(n_frames=48, size=256, n_keypoints=256):
+    """SLAM throughput (BASELINE.json KITTI config; no reference analogue).
+
+    Times the batched front end (vmapped detect+describe, chunked+vmapped
+    match->RANSAC->BA pair poses) and the full stack (keyframes, detected
+    loop closures, windowed BA, Sim(3) pose graph) on a rendered
+    closed-loop sequence, steady-state (second run after compile).
+    """
+    from .data.synthetic import render_blob_sequence
+    from .models.vgg import VGGDescriptor
+    from .pipeline.slam import (SlamConfig, ate_rmse, compute_features,
+                                detect_loop_closures, refine_with_pose_graph,
+                                run_odometry, select_keyframes, windowed_ba)
+
+    header = "/root/reference/workspace/opencv/vgg_generated_64.i"
+    if not os.path.exists(header):
+        return {"skipped": "reference VGG header not mounted"}
+    with open(header) as fh:
+        model = VGGDescriptor.from_header(fh.read())
+    rng = np.random.default_rng(2215)
+    frames, centers_gt, intr = render_blob_sequence(rng, n_frames, size=size)
+    cfg = SlamConfig(n_keypoints=n_keypoints, kf_min_translation=2.5,
+                     kf_min_rotation=0.05, loop_gap=10)
+
+    def front_end():
+        feats = compute_features(frames, model, cfg)
+        odo = run_odometry(frames, intr, model, cfg, feats=feats)
+        return feats, odo
+
+    feats, odo = front_end()                      # compile warmup
+    t0 = time.perf_counter()
+    feats, odo = front_end()
+    t_front = time.perf_counter() - t0
+
+    def back_end():
+        kf = select_keyframes(odo, cfg)
+        loops = detect_loop_closures(feats, kf, odo, intr, cfg)
+        overrides = windowed_ba(odo, feats, intr, cfg)
+        refined = refine_with_pose_graph(
+            odo, loop_edges=loops, odometry_overrides=overrides,
+            loop_weight=cfg.loop_weight, sim3=cfg.use_sim3 and len(loops) > 0)
+        return kf, loops, refined
+
+    kf, loops, refined = back_end()               # compile warmup
+    t0 = time.perf_counter()
+    kf, loops, refined = back_end()
+    t_back = time.perf_counter() - t0
+
+    span = float(np.linalg.norm(centers_gt.max(0) - centers_gt.min(0)))
+    return {
+        "n_frames": n_frames, "size": size, "n_keypoints": n_keypoints,
+        "front_end_sec": round(t_front, 3),
+        "front_end_fps": round(n_frames / t_front, 2),
+        "full_stack_sec": round(t_front + t_back, 3),
+        "full_stack_fps": round(n_frames / (t_front + t_back), 2),
+        "n_keyframes": int(len(kf)),
+        "n_loop_closures": len(loops),
+        "ate_over_span": round(
+            ate_rmse(refined.translations, centers_gt) / span, 4),
+    }
+
+
 def run(suite: str = "headline", out_path: str = "bench_details.json"):
     """Default 'headline' keeps remote-compile count low (each program costs
     ~20-40 s of compile on the tunnel); 'all' runs every suite."""
@@ -457,6 +519,8 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["brown_scale"] = bench_brown_scale()
     if suite in ("all", "precision"):
         details["precision_fpr95"] = bench_precision_fpr95()
+    if suite in ("all", "slam"):
+        details["slam"] = bench_slam()
     details["total_bench_time"] = time.time() - t0
 
     with open(out_path, "w") as f:

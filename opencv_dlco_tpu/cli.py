@@ -135,6 +135,39 @@ def cmd_sfm(args):
     }, indent=2))
 
 
+def cmd_slam(args):
+    """Full monocular SLAM over a KITTI odometry-format sequence."""
+    from .data.kitti import evaluate_against_gt, load_sequence
+    from .models.vgg import VGGDescriptor
+    from .pipeline.slam import SlamConfig, run_slam
+
+    seq = load_sequence(args.root, args.sequence, camera=args.camera,
+                        max_frames=args.max_frames)
+    frames = [seq.load_frame(i) for i in range(len(seq))]
+    with open(args.model) as f:
+        model = VGGDescriptor.from_header(f.read())
+    cfg = SlamConfig(n_keypoints=args.keypoints,
+                     ba_window=args.ba_window,
+                     loop_gap=args.loop_gap)
+    res = run_slam(frames, seq.intrinsics, model, cfg)
+    out = {
+        "n_frames": len(seq),
+        "n_keyframes": int(res.keyframes.shape[0]),
+        "n_loop_closures": len(res.loop_edges),
+        "trajectory": res.translations.tolist(),
+    }
+    if seq.poses is not None:
+        out["eval"] = evaluate_against_gt(res, seq)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        del out["trajectory"]
+        out["trajectory_file"] = args.out
+    else:
+        del out["trajectory"]
+    print(json.dumps(out, indent=2))
+
+
 def cmd_pjstats(args):
     from .pipeline.stages import Workspace as W
 
@@ -278,6 +311,22 @@ def main(argv=None):
     sp.add_argument("--intrinsics", required=True, help="fx,fy,cx,cy")
     sp.add_argument("--keypoints", type=int, default=512)
     sp.set_defaults(fn=cmd_sfm)
+
+    sp = sub.add_parser("slam", help="monocular SLAM over a KITTI "
+                                     "odometry-format sequence")
+    common(sp, workspace=False)
+    sp.add_argument("--root", required=True,
+                    help="KITTI root (sequences/<seq>/, poses/)")
+    sp.add_argument("--sequence", required=True, help="e.g. 07")
+    sp.add_argument("--camera", default="image_0")
+    sp.add_argument("--model", required=True, help="vgg_generated .i header")
+    sp.add_argument("--keypoints", type=int, default=384)
+    sp.add_argument("--ba-window", type=int, default=6)
+    sp.add_argument("--loop-gap", type=int, default=12)
+    sp.add_argument("--max-frames", type=int, default=None)
+    sp.add_argument("--out", default=None,
+                    help="write trajectory + eval JSON here")
+    sp.set_defaults(fn=cmd_slam)
 
     sp = sub.add_parser("pjstats", help="PJ model ranking")
     common(sp)

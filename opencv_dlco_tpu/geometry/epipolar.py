@@ -82,24 +82,37 @@ def sampson_distance(e: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("n_hypotheses", "sample_size"))
 def ransac_essential(x1: jax.Array, x2: jax.Array, key: jax.Array,
                      *, n_hypotheses: int = 512, thresh: float = 1e-4,
-                     sample_size: int = 8):
+                     sample_size: int = 8,
+                     n_valid: jax.Array | None = None):
     """Batched RANSAC for E.
 
     Returns (E (3,3), inlier_mask (N,), n_inliers ()). thresh is a Sampson
     distance in normalized-coordinate units (~ (px / focal)^2 scale).
+
+    ``n_valid`` (traced scalar) marks a valid prefix of the N rows: only
+    rows < n_valid are sampled into hypotheses or counted as inliers. This
+    is the static-shape contract that lets many variable-size match sets
+    run as ONE vmapped program (pad each set to N, compact valid matches to
+    the front) — the batched-SLAM front end depends on it.
     """
     n = x1.shape[0]
-    idx = jax.random.randint(key, (n_hypotheses, sample_size), 0, n)
+    if n_valid is None:
+        valid = jnp.ones(n, bool)
+        hi = n
+    else:
+        valid = jnp.arange(n) < n_valid
+        hi = jnp.clip(n_valid, sample_size, n)
+    idx = jax.random.randint(key, (n_hypotheses, sample_size), 0, hi)
     e_all = jax.vmap(lambda i: eight_point(x1[i], x2[i]))(idx)  # (H, 3, 3)
     d = sampson_distance(e_all, x1[None], x2[None])             # (H, N)
-    inl = d < thresh
+    inl = (d < thresh) & valid[None]
     scores = jnp.sum(inl, axis=1)
     best = jnp.argmax(scores)
     best_mask = inl[best]
     # masked least-squares refit on all inliers of the winner
     e_refit = eight_point(x1, x2, weights=best_mask.astype(x1.dtype))
     d_refit = sampson_distance(e_refit, x1, x2)
-    mask_refit = d_refit < thresh
+    mask_refit = (d_refit < thresh) & valid
     # keep the refit only if it didn't lose inliers
     better = jnp.sum(mask_refit) >= jnp.sum(best_mask)
     e_final = jnp.where(better, e_refit, e_all[best])

@@ -43,7 +43,6 @@ from ..geometry.posegraph import (
     optimize_pose_graph,
     optimize_pose_graph_sim3,
 )
-from ..geometry.se3 import se3_compose, se3_inverse, so3_log
 from ..geometry.triangulate import triangulate_points
 from ..models.vgg import VGGDescriptor
 from ..ops.detect import detect_corners, extract_patches
@@ -73,6 +72,10 @@ class SlamConfig:
     ba_stride: int = 3
     ba_max_tracks: int = 384
     ba_window_iters: int = 10
+    # batched front end: frame pairs per compiled pose program (bigger
+    # chunks amortise dispatch latency on long sequences; shapes are
+    # bucketed so the program is compiled once per chunk size)
+    pose_chunk: int = 16
 
 
 @dataclass
@@ -95,6 +98,22 @@ class SlamResult:
         field(default_factory=list)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _detect_chunk(imgs, k):
+    """Batched sub-pixel corner detection over a frame chunk (module-level:
+    a per-call closure would recompile on every compute_features call)."""
+    def one(img):
+        _, yx, valid, yx_f = detect_corners(img, k=k, subpixel=True)
+        return yx, valid, yx_f
+
+    return jax.vmap(one)(imgs)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _extract_chunk(imgs, yx):
+    return jax.vmap(extract_patches)(imgs, yx)
+
+
 def compute_features(frames, model: VGGDescriptor, cfg: SlamConfig,
                      chunk: int = 8):
     """Detect + describe every frame once; shared by all downstream stages.
@@ -112,14 +131,6 @@ def compute_features(frames, model: VGGDescriptor, cfg: SlamConfig,
     feats = []
     big = jnp.float32(1e6)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def detect_chunk(imgs, k):
-        def one(img):
-            _, yx, valid, yx_f = detect_corners(img, k=k, subpixel=True)
-            return yx, valid, yx_f
-
-        return jax.vmap(one)(imgs)
-
     i = 0
     while i < len(frames):
         # uniform-shape run starting at i (vmap needs equal frame sizes)
@@ -127,9 +138,16 @@ def compute_features(frames, model: VGGDescriptor, cfg: SlamConfig,
         while (j < len(frames) and j - i < chunk
                and frames[j].shape == frames[i].shape):
             j += 1
-        imgs = jnp.asarray(np.stack(frames[i:j]))
-        yx, valid, yx_f = detect_chunk(imgs, cfg.n_keypoints)
-        patches = jax.vmap(extract_patches)(imgs, yx)     # (C, K, P, P)
+        n_real = j - i
+        stack = np.stack(frames[i:j])
+        if n_real < chunk:
+            # pad to the full chunk so every call reuses one compiled
+            # program per frame shape (partial tails would each compile)
+            stack = np.concatenate(
+                [stack, np.repeat(stack[-1:], chunk - n_real, axis=0)])
+        imgs = jnp.asarray(stack)
+        yx, valid, yx_f = _detect_chunk(imgs, cfg.n_keypoints)
+        patches = _extract_chunk(imgs, yx)                # (C, K, P, P)
         c, k_pts = patches.shape[:2]
         desc = model.describe(patches.reshape((c * k_pts,)
                                               + patches.shape[2:]))
@@ -138,67 +156,153 @@ def compute_features(frames, model: VGGDescriptor, cfg: SlamConfig,
         yx_f_np = np.asarray(yx_f)
         desc_np = np.asarray(desc)
         valid_np = np.asarray(valid)
-        for m in range(c):
+        for m in range(n_real):
             feats.append((yx_f_np[m], desc_np[m], valid_np[m]))
         i = j
     return feats
 
 
-def _pair_pose(feats_a, feats_b, intrinsics, cfg: SlamConfig, key):
-    """Relative pose frame a -> frame b from one descriptor matching pass.
+_POSE_CHUNK = 16  # frame pairs per compiled program (padded, program reused)
 
-    Matching runs ONCE here; the returned estimate carries both endpoint
-    keypoint indices so callers never need to re-match.
+
+@functools.partial(jax.jit, static_argnames=(
+    "ratio", "thresh", "n_hypotheses", "ba_iters", "min_matches"))
+def _match_pose_chunk(yx_a, d_a, v_a, yx_b, d_b, v_b, intr, keys, *,
+                      ratio, thresh, n_hypotheses, ba_iters, min_matches):
+    """Match + RANSAC-E + cheirality pose + two-view BA for a CHUNK of
+    frame pairs as one vmapped device program.
+
+    The KITTI-scale throughput path: the per-pair host loop (one knn + one
+    RANSAC + one BA dispatch each) left the chip idle between small
+    programs; here C pairs run shoulder-to-shoulder, so the (H, N) Sampson
+    einsums and the BA normal equations batch onto the MXU. Variable match
+    counts become static shapes via the compact-to-prefix + ``n_valid``
+    contract of geometry.epipolar.ransac_essential.
+
+    Returns per pair: r (3,3), t (3), points (K, 3), good (K,), src (K,),
+    tgt (K,), n_matches (), n_inliers (), usable ().
     """
-    fx, fy, cx, cy = intrinsics
-    yx1, d1, v1 = feats_a
-    yx2, d2, v2 = feats_b
-    d2m = np.where(v2[:, None], d2, -1e6)
-    dists, idx = knn_match(jnp.asarray(d1), jnp.asarray(d2m), k=2,
-                           block=min(4096, d1.shape[0]))
-    midx, ok = ratio_test(dists, idx, ratio=cfg.ratio)
-    ok = np.asarray(ok) & v1
-    sel = np.flatnonzero(ok)
-    if sel.size < cfg.min_matches:
-        raise ValueError(f"too few matches between frames: {sel.size}")
-    m2 = np.asarray(jnp.maximum(midx, 0))[sel]
-    p1 = np.stack([(yx1[sel, 1] - cx) / fx, (yx1[sel, 0] - cy) / fy], 1)
-    p2 = np.stack([(yx2[m2, 1] - cx) / fx, (yx2[m2, 0] - cy) / fy], 1)
-    x1 = jnp.asarray(p1.astype(np.float32))
-    x2 = jnp.asarray(p2.astype(np.float32))
-    e, mask, n_inl = ransac_essential(
-        x1, x2, key, n_hypotheses=cfg.ransac_iters,
-        thresh=cfg.ransac_thresh)
-    r, t, pts, _ = recover_pose(e, x1, x2, mask)
-    ba = two_view_ba(r, t, pts, x1, x2,
-                     weights=mask.astype(jnp.float32), n_iters=cfg.ba_iters)
-    mask_np = np.asarray(mask)
-    # cheirality-clean landmarks only: a triangulation behind either camera
-    # is geometric junk and poisons downstream depth-ratio scale voting
-    pts_np = np.asarray(ba.points)
-    r_np = np.asarray(ba.r)
-    t_np = np.asarray(ba.t)
-    z2 = pts_np @ r_np.T[:, 2] + t_np[2]
-    good = mask_np & (pts_np[:, 2] > 1e-6) & (z2 > 1e-6)
-    return PairEstimate(
-        rotation=r_np,
-        translation=t_np,
-        kp_prev_idx=sel[good],
-        kp_next_idx=m2[good],
-        points3d=pts_np[good],
-        n_inliers=int(n_inl),
-    )
+    k_pts = yx_a.shape[1]
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+
+    def match_one(d1, v1, d2, v2):
+        d2m = jnp.where(v2[:, None], d2, -1e6)
+        dists, idx = knn_match(d1, d2m, k=2, block=k_pts)
+        midx, ok = ratio_test(dists, idx, ratio=ratio)
+        ok = ok & v1
+        # compact valid matches to the front (stable: keeps kp order)
+        order = jnp.argsort(jnp.logical_not(ok), stable=True)
+        src = order.astype(jnp.int32)
+        tgt = jnp.maximum(midx, 0).astype(jnp.int32)[order]
+        return src, tgt, jnp.sum(ok).astype(jnp.int32)
+
+    src, tgt, n_ok = jax.vmap(match_one)(d_a, v_a, d_b, v_b)
+
+    def take_xy(yx, sel):
+        pts = yx[sel]
+        return jnp.stack([(pts[:, 1] - cx) / fx, (pts[:, 0] - cy) / fy],
+                         -1).astype(jnp.float32)
+
+    x1 = jax.vmap(take_xy)(yx_a, src)
+    x2 = jax.vmap(take_xy)(yx_b, tgt)
+
+    def pose_one(x1i, x2i, nv, key):
+        e, mask, n_inl = ransac_essential(
+            x1i, x2i, key, n_hypotheses=n_hypotheses, thresh=thresh,
+            n_valid=nv)
+        r, t, pts, _ = recover_pose(e, x1i, x2i, mask)
+        # padded / outlier rows can triangulate to degenerate points; park
+        # them at a benign depth so BA's jacobians stay finite (their
+        # weight is 0, but NaN * 0 would still poison the normal equations)
+        pts = jnp.where(mask[:, None], pts,
+                        jnp.array([0.0, 0.0, 5.0], pts.dtype))
+        ba = two_view_ba(r, t, pts, x1i, x2i,
+                         weights=mask.astype(jnp.float32), n_iters=ba_iters)
+        # cheirality-clean landmarks only: a triangulation behind either
+        # camera is geometric junk and poisons depth-ratio scale voting
+        z2 = ba.points @ ba.r[2] + ba.t[2]
+        good = mask & (ba.points[:, 2] > 1e-6) & (z2 > 1e-6)
+        usable = nv >= min_matches
+        return ba.r, ba.t, ba.points, good & usable, n_inl, usable
+
+    r, t, pts, good, n_inl, usable = jax.vmap(pose_one)(x1, x2, n_ok, keys)
+    return r, t, pts, good, src, tgt, n_ok, n_inl, usable
 
 
-def _median_depth_ratio(depths_by_kp: Dict[int, float], kp_idx, points3d,
+def batched_pair_poses(feats, pair_indices, intrinsics, cfg: SlamConfig,
+                       key) -> Tuple[List["PairEstimate"], List[bool]]:
+    """Relative poses for many (a, b) frame pairs, chunked+vmapped.
+
+    Matching runs ONCE per pair; each estimate carries both endpoint
+    keypoint indices so callers never re-match. Pairs with fewer than
+    ``cfg.min_matches`` correspondences come back with usable=False
+    instead of raising — loop-closure candidates are allowed to fail.
+    """
+    n_pairs = len(pair_indices)
+    if n_pairs == 0:
+        return [], []
+    yx_all = np.stack([f[0] for f in feats]).astype(np.float32)
+    d_all = np.stack([f[1] for f in feats]).astype(np.float32)
+    v_all = np.stack([f[2] for f in feats])
+    intr = jnp.asarray(np.asarray(intrinsics, np.float32))
+    keys = jax.random.split(key, n_pairs)
+    a_idx = np.asarray([p[0] for p in pair_indices])
+    b_idx = np.asarray([p[1] for p in pair_indices])
+
+    ests: List[PairEstimate] = []
+    usable_flags: List[bool] = []
+    chunk = max(1, getattr(cfg, "pose_chunk", _POSE_CHUNK))
+    for s in range(0, n_pairs, chunk):
+        e = min(s + chunk, n_pairs)
+        pad = chunk - (e - s)
+        ai = np.concatenate([a_idx[s:e], np.repeat(a_idx[e - 1], pad)])
+        bi = np.concatenate([b_idx[s:e], np.repeat(b_idx[e - 1], pad)])
+        kc = jnp.concatenate(
+            [keys[s:e], jnp.broadcast_to(keys[e - 1], (pad,)
+                                         + keys.shape[1:])])
+        out = _match_pose_chunk(
+            jnp.asarray(yx_all[ai]), jnp.asarray(d_all[ai]),
+            jnp.asarray(v_all[ai]),
+            jnp.asarray(yx_all[bi]), jnp.asarray(d_all[bi]),
+            jnp.asarray(v_all[bi]), intr, kc,
+            ratio=cfg.ratio, thresh=cfg.ransac_thresh,
+            n_hypotheses=cfg.ransac_iters, ba_iters=cfg.ba_iters,
+            min_matches=cfg.min_matches)
+        r, t, pts, good, src, tgt, n_ok, n_inl, usable = map(np.asarray, out)
+        for p in range(e - s):
+            g = good[p]
+            ests.append(PairEstimate(
+                rotation=r[p],
+                translation=t[p],
+                kp_prev_idx=src[p][g],
+                kp_next_idx=tgt[p][g],
+                points3d=pts[p][g],
+                n_inliers=int(n_inl[p]),
+            ))
+            usable_flags.append(bool(usable[p]))
+    return ests, usable_flags
+
+
+def _median_depth_ratio(depths: np.ndarray, kp_idx, points3d,
                         min_points: int) -> Optional[float]:
-    """Median over common keypoints of (known depth / new landmark depth)."""
-    ratios = [depths_by_kp[int(kp)] / pt[2]
-              for kp, pt in zip(kp_idx, points3d)
-              if int(kp) in depths_by_kp and pt[2] > 1e-6]
-    if len(ratios) < min_points:
+    """Median over common keypoints of (known depth / new landmark depth).
+
+    ``depths`` is a dense (K,) array with NaN where no depth is known."""
+    z = points3d[:, 2]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratios = depths[kp_idx] / np.where(z > 1e-6, z, np.nan)
+    ratios = ratios[np.isfinite(ratios)]
+    if ratios.size < min_points:
         return None
     return float(np.median(ratios))
+
+
+def _depth_map(kp_idx, depths_z, n_keypoints: int) -> np.ndarray:
+    """Dense (K,) depth array (NaN = unknown); duplicate kp: last wins."""
+    out = np.full(n_keypoints, np.nan, np.float64)
+    ok = depths_z > 1e-6
+    out[kp_idx[ok]] = depths_z[ok]
+    return out
 
 
 def run_odometry(frames, intrinsics, model: VGGDescriptor,
@@ -218,12 +322,20 @@ def run_odometry(frames, intrinsics, model: VGGDescriptor,
     if feats is None:
         feats = compute_features(frames, model, cfg)
 
-    pairs: List[PairEstimate] = []
-    prev_depths: Optional[Dict[int, float]] = None  # kp idx (cur frame) -> z
+    n_kp = feats[0][1].shape[0]
+    pair_idx = [(i, i + 1) for i in range(len(feats) - 1)]
+    pairs, usable = batched_pair_poses(feats, pair_idx, intrinsics, cfg, key)
+    for i, u in enumerate(usable):
+        if not u:
+            raise ValueError(
+                f"too few matches between frames {i} and {i + 1}: "
+                f"{pairs[i].kp_prev_idx.size}")
+
+    # monocular scale chaining (host, vectorised per pair): rescale pair k
+    # so landmarks of the shared middle frame agree in depth with pair k-1
+    prev_depths: Optional[np.ndarray] = None  # (K,) z per kp of cur frame
     prev_scale = 1.0
-    for i in range(len(feats) - 1):
-        key, sub = jax.random.split(key)
-        est = _pair_pose(feats[i], feats[i + 1], intrinsics, cfg, sub)
+    for est in pairs:
         if prev_depths is not None:
             scale = _median_depth_ratio(prev_depths, est.kp_prev_idx,
                                         est.points3d, cfg.min_scale_points)
@@ -239,24 +351,19 @@ def run_odometry(frames, intrinsics, model: VGGDescriptor,
         # this pair's match-target keypoint (no re-matching needed):
         # X_{i+1} = R X_i + t
         pts_next = est.points3d @ est.rotation.T + est.translation
-        prev_depths = {
-            int(kp): float(p[2])
-            for kp, p in zip(est.kp_next_idx, pts_next) if p[2] > 1e-6
-        }
-        pairs.append(est)
+        prev_depths = _depth_map(est.kp_next_idx, pts_next[:, 2], n_kp)
 
-    # chain absolute poses: world = frame 0; world_T_k
+    # chain absolute poses: world = frame 0; world_T_k (pure numpy — 3x3
+    # composes need no device round-trips)
     rs = [np.eye(3)]
     ts = [np.zeros(3)]
     for est in pairs:
         # pose maps frame-k coords to frame-k+1: x_{k+1} = R x_k + t
         # world_T_{k+1} = world_T_k ∘ inv([R|t])
-        r_inv, t_inv = se3_inverse(jnp.asarray(est.rotation),
-                                   jnp.asarray(est.translation))
-        r_w, t_w = se3_compose(jnp.asarray(rs[-1]), jnp.asarray(ts[-1]),
-                               r_inv, t_inv)
-        rs.append(np.asarray(r_w))
-        ts.append(np.asarray(t_w))
+        r_inv = est.rotation.T
+        t_inv = -r_inv @ est.translation
+        rs.append(rs[-1] @ r_inv)
+        ts.append(rs[-2] @ t_inv + ts[-1])
     return SlamResult(rotations=np.stack(rs), translations=np.stack(ts),
                       pairs=pairs)
 
@@ -267,10 +374,12 @@ def select_keyframes(result: SlamResult, cfg: SlamConfig) -> np.ndarray:
     exceeds the config thresholds. Frames 0 and F-1 are always keyframes."""
     n = result.rotations.shape[0]
     kf = [0]
+    rots = np.stack([est.rotation for est in result.pairs])
+    cos = np.clip((np.trace(rots, axis1=1, axis2=2) - 1.0) * 0.5, -1.0, 1.0)
+    angles = np.arccos(cos)  # = |so3_log(R)|, no device round-trips
     acc_rot, acc_tr = 0.0, 0.0
     for k, est in enumerate(result.pairs):
-        acc_rot += float(np.linalg.norm(
-            np.asarray(so3_log(jnp.asarray(est.rotation)))))
+        acc_rot += float(angles[k])
         acc_tr += float(np.linalg.norm(est.translation))
         if acc_rot >= cfg.kf_min_rotation or acc_tr >= cfg.kf_min_translation:
             kf.append(k + 1)
@@ -308,7 +417,12 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     kfs = [int(k) for k in keyframes]
     g = _global_descriptors([feats[k] for k in kfs])
     sims = g @ g.T
-    edges = []
+    n_kp = feats[0][1].shape[0]
+
+    # retrieval: collect ALL candidate pairs first, verify them in one
+    # batched program (the per-candidate verify loop was the other
+    # KITTI-scale host bottleneck)
+    cand: List[Tuple[int, int]] = []
     seen = set()
     for a_pos in range(len(kfs)):
         fa = kfs[a_pos]
@@ -318,35 +432,30 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
         cands.sort(reverse=True)
         for _, b_pos in cands[:cfg.loop_top_k]:
             fb = kfs[b_pos]
-            if (fb, fa) in seen:
+            if (fb, fa) in seen or fb >= len(result.pairs):
                 continue
             seen.add((fb, fa))
-            key, sub = jax.random.split(key)
-            try:
-                est = _pair_pose(feats[fb], feats[fa], intrinsics, cfg, sub)
-            except ValueError:
-                continue
-            if est.n_inliers < cfg.loop_min_inliers:
-                continue
-            # scale: est.points3d live in frame-fb coords with unit-baseline
-            # scale; compare with the odometry landmark depths of pair
-            # (fb, fb+1), which are scale-propagated and also frame-fb.
-            if fb >= len(result.pairs):
-                continue
-            odo = result.pairs[fb]
-            depths = {int(kp): float(p[2])
-                      for kp, p in zip(odo.kp_prev_idx, odo.points3d)
-                      if p[2] > 1e-6}
-            scale = _median_depth_ratio(depths, est.kp_prev_idx,
-                                        est.points3d, cfg.min_scale_points)
-            if scale is None:
-                continue
-            # est maps frame-fb -> frame-fa; the edge measurement is
-            # i_T_j = inv([R | s*t]) with i=fb, j=fa.
-            r_inv, t_inv = se3_inverse(
-                jnp.asarray(est.rotation),
-                jnp.asarray(est.translation * scale))
-            edges.append((fb, fa, np.asarray(r_inv), np.asarray(t_inv)))
+            cand.append((fb, fa))
+
+    ests, usable = batched_pair_poses(feats, cand, intrinsics, cfg, key)
+    edges = []
+    for (fb, fa), est, u in zip(cand, ests, usable):
+        if not u or est.n_inliers < cfg.loop_min_inliers:
+            continue
+        # scale: est.points3d live in frame-fb coords with unit-baseline
+        # scale; compare with the odometry landmark depths of pair
+        # (fb, fb+1), which are scale-propagated and also frame-fb.
+        odo = result.pairs[fb]
+        depths = _depth_map(odo.kp_prev_idx, odo.points3d[:, 2], n_kp)
+        scale = _median_depth_ratio(depths, est.kp_prev_idx,
+                                    est.points3d, cfg.min_scale_points)
+        if scale is None:
+            continue
+        # est maps frame-fb -> frame-fa; the edge measurement is
+        # i_T_j = inv([R | s*t]) with i=fb, j=fa.
+        r_inv = est.rotation.T
+        t_inv = -r_inv @ (est.translation * scale)
+        edges.append((fb, fa, r_inv, t_inv))
     return edges
 
 
@@ -383,6 +492,15 @@ def _pad_to(x: np.ndarray, n: int, fill=0):
     return np.pad(x, pad, constant_values=fill)
 
 
+@jax.jit
+def _triangulate_many(r_rel, t_rel, x0, x1):
+    """Per-track two-view seed triangulation, vmapped over tracks:
+    (T,3,3), (T,3), (T,2), (T,2) -> (T,3) points in each track's f0 frame."""
+    return jax.vmap(
+        lambda r, t, a, b: triangulate_points(r, t, a[None], b[None])[0]
+    )(r_rel, t_rel, x0, x1)
+
+
 def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
                 ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """Refine local geometry per window with multi-view BA; return refined
@@ -403,10 +521,6 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
     tracks = build_tracks(result.pairs)
     edges: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
-    def obs_uv(frame, kp):
-        yx = feats[frame][0][kp]
-        return np.array([(yx[1] - cx) / fx, (yx[0] - cy) / fy], np.float32)
-
     starts = list(range(0, max(1, n_frames - 2), cfg.ba_stride))
     for a in starts:
         b = min(a + cfg.ba_window, n_frames)
@@ -424,36 +538,59 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
         if len(win_tracks) < 8:
             continue
 
-        cam_idx, pt_idx, uvs = [], [], []
-        points0 = []
         r_cam = np.stack([_extrinsics(result, f)[0] for f in range(a, b)])
         t_cam = np.stack([_extrinsics(result, f)[1] for f in range(a, b)])
+        yx_win = np.stack([feats[f][0] for f in range(a, b)])  # (m, K, 2)
+
+        def obs_uv_arr(f_arr, kp_arr):
+            yx = yx_win[f_arr, kp_arr]
+            return np.stack([(yx[..., 1] - cx) / fx,
+                             (yx[..., 0] - cy) / fy], -1).astype(np.float32)
+
+        # seed triangulation of every track from its first/last
+        # observation, batched into ONE padded device program per window
+        # (per-track dispatches were the remaining host bottleneck here)
+        f0s = np.asarray([tr[0][0] - a for tr in win_tracks])
+        kp0s = np.asarray([tr[0][1] for tr in win_tracks])
+        f1s = np.asarray([tr[-1][0] - a for tr in win_tracks])
+        kp1s = np.asarray([tr[-1][1] for tr in win_tracks])
+        r_rel = r_cam[f1s] @ r_cam[f0s].transpose(0, 2, 1)
+        t_rel = t_cam[f1s] - np.einsum("nij,nj->ni", r_rel, t_cam[f0s])
+        n_tr = len(win_tracks)
+        t_pad = -(-n_tr // 64) * 64
+        p_rel = np.asarray(_triangulate_many(
+            jnp.asarray(_pad_to(r_rel.astype(np.float32), t_pad)
+                        + np.where(np.arange(t_pad)[:, None, None] < n_tr,
+                                   0.0, np.eye(3, dtype=np.float32))),
+            jnp.asarray(_pad_to(t_rel.astype(np.float32), t_pad, fill=1.0)),
+            jnp.asarray(_pad_to(obs_uv_arr(f0s, kp0s), t_pad)),
+            jnp.asarray(_pad_to(obs_uv_arr(f1s, kp1s), t_pad))))[:n_tr]
+        # frame-f0 coords -> world
+        rot_w = result.rotations[f0s + a]
+        points0 = list(np.einsum("nij,nj->ni", rot_w, p_rel)
+                       + result.translations[f0s + a])
+
+        cam_idx, pt_idx = [], []
         for n_id, tr in enumerate(win_tracks):
-            (f0, kp0), (f1, kp1) = tr[0], tr[-1]
-            # triangulate from the first/last observation: relative pose
-            # f0 -> f1 from the current trajectory estimate
-            r_rel = r_cam[f1 - a] @ r_cam[f0 - a].T
-            t_rel = t_cam[f1 - a] - r_rel @ t_cam[f0 - a]
-            x0 = jnp.asarray(obs_uv(f0, kp0)[None])
-            x1 = jnp.asarray(obs_uv(f1, kp1)[None])
-            p_f0 = np.asarray(triangulate_points(
-                jnp.asarray(r_rel.astype(np.float32)),
-                jnp.asarray(t_rel.astype(np.float32)), x0, x1))[0]
-            # to world coords
-            p_w = result.rotations[f0] @ p_f0 + result.translations[f0]
-            points0.append(p_w)
             for f, kp in tr:
                 cam_idx.append(f - a)
                 pt_idx.append(n_id)
-                uvs.append(obs_uv(f, kp))
+        obs_kp = np.asarray([kp for tr in win_tracks for _, kp in tr])
+        uvs = list(obs_uv_arr(np.asarray(cam_idx), obs_kp))
 
         n_lm = len(points0)
         k_obs = len(uvs)
         # pad to buckets so repeated windows reuse one compiled program;
         # n_pad > n_lm always, so padded observations can be spread over
-        # padding landmarks without touching real landmarks' tables
-        n_pad = -(-(n_lm + 1) // 64) * 64
+        # padding landmarks without touching real landmarks' tables.
+        # CRITICAL: enough padding landmarks that no single one collects
+        # more than ~window-length observations — the MVBA Schur table is
+        # (n_lms, max_obs, max_obs, 6, 6), and one overloaded padding
+        # landmark once inflated max_obs to 255 (a 34 GiB allocation that
+        # OOMed the 16 GiB chip).
         k_pad = -(-k_obs // 256) * 256
+        min_pad_lms = max(1, -(-(k_pad - k_obs) // max(m, 1)))
+        n_pad = -(-(n_lm + min_pad_lms) // 64) * 64
         pts = _pad_to(np.asarray(points0, np.float32), n_pad, fill=1.0)
         cam = _pad_to(np.asarray(cam_idx, np.int32), k_pad)
         pt = _pad_to(np.asarray(pt_idx, np.int32), k_pad)
@@ -513,10 +650,10 @@ def refine_with_pose_graph(result: SlamResult,
         if k in overrides:
             r_e, t_e = overrides[k]
         else:
-            # edge measurement i_T_j with j = k+1: inv([R|t])
-            r_inv, t_inv = se3_inverse(jnp.asarray(est.rotation),
-                                       jnp.asarray(est.translation))
-            r_e, t_e = np.asarray(r_inv), np.asarray(t_inv)
+            # edge measurement i_T_j with j = k+1: inv([R|t]) (numpy — no
+            # per-edge device dispatches)
+            r_e = est.rotation.T
+            t_e = -r_e @ est.translation
         ei.append(k)
         ej.append(k + 1)
         rz.append(r_e)

@@ -109,6 +109,28 @@ def test_ransac_essential_outliers_and_pose(rng):
     assert cos > 0.99
 
 
+def test_ransac_essential_valid_prefix():
+    """n_valid contract (the batched-SLAM static-shape path): junk padding
+    rows beyond n_valid must neither be sampled nor counted as inliers.
+
+    Dedicated rng: the shared session fixture's stream position must not
+    shift for tests that run after this one."""
+    rng = np.random.default_rng(41)
+    pts, r, t, p1, p2 = _two_view_scene(rng, n=150, noise=1e-5)
+    pad = rng.uniform(-5, 5, size=(50, 2))
+    p1p = np.concatenate([p1, pad]).astype(np.float32)
+    p2p = np.concatenate([p2, pad[::-1]]).astype(np.float32)
+    e, mask, n_inl = ransac_essential(
+        jnp.asarray(p1p), jnp.asarray(p2p), jax.random.PRNGKey(3),
+        n_hypotheses=256, thresh=1e-5, n_valid=jnp.int32(150))
+    mask_np = np.asarray(mask)
+    assert not mask_np[150:].any(), "padding rows marked as inliers"
+    assert int(n_inl) > 140
+    d = np.asarray(sampson_distance(e, jnp.asarray(p1p[:150]),
+                                    jnp.asarray(p2p[:150])))
+    assert np.median(d) < 1e-7
+
+
 def test_triangulation_exact(rng):
     pts, r, t, p1, p2 = _two_view_scene(rng, n=100)
     out = np.asarray(triangulate_points(jnp.asarray(r.astype(np.float32)),

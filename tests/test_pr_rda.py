@@ -64,8 +64,10 @@ def test_step_math_matches_numpy(rng):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_convergence_on_synthetic(rng):
-    pos, neg, info = synth_pr_dataset(rng)
+def test_convergence_on_synthetic():
+    # dedicated rng: the planted-dims overlap bar sits close enough to the
+    # threshold that the scene must not depend on which tests ran before
+    pos, neg, info = synth_pr_dataset(np.random.default_rng(2215))
     pos_trn, pos_val = split_train_val(pos)
     neg_trn, neg_val = split_train_val(neg)
     cfg = PRLearnConfig(mu=0.02, gamma=0.25, n_iter=40_000, log_step=10_000,

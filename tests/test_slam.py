@@ -278,3 +278,43 @@ def test_compute_features_batched_matches_per_frame():
         np.testing.assert_array_equal(v_b, v_s)
         np.testing.assert_allclose(yx_b, yx_s, atol=1e-6)
         np.testing.assert_allclose(d_b, d_s, rtol=1e-5, atol=1e-6)
+
+
+@requires_reference
+def test_cli_slam_kitti_sequence(tmp_path, capsys):
+    """`dlco slam` end-to-end on a rendered KITTI-format sequence: loads
+    frames + calib + poses, runs the batched SLAM stack, evaluates ATE."""
+    import json
+
+    import cv2
+
+    from opencv_dlco_tpu.cli import main
+    from opencv_dlco_tpu.data.synthetic import render_blob_sequence
+
+    frames, centers, (fx, fy, cx, cy) = render_blob_sequence(
+        np.random.default_rng(7), n_frames=10, size=256, closed_loop=False)
+
+    seq_dir = tmp_path / "sequences" / "03"
+    img_dir = seq_dir / "image_0"
+    img_dir.mkdir(parents=True)
+    (tmp_path / "poses").mkdir()
+    p0 = np.array([[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0]])
+    with open(seq_dir / "calib.txt", "w") as fh:
+        fh.write("P0: " + " ".join(f"{v:.12e}" for v in p0.ravel()) + "\n")
+    for i, img in enumerate(frames):
+        assert cv2.imwrite(str(img_dir / f"{i:06d}.bmp"), img)
+    with open(tmp_path / "poses" / "03.txt", "w") as fh:
+        for c in centers:  # R irrelevant for center-based ATE; write I
+            pose = np.concatenate([np.eye(3), c[:, None]], 1)
+            fh.write(" ".join(f"{v:.9e}" for v in pose.ravel()) + "\n")
+
+    out_file = tmp_path / "traj.json"
+    main(["slam", "--root", str(tmp_path), "--sequence", "03",
+          "--model", f"{REFERENCE}/workspace/opencv/vgg_generated_64.i",
+          "--keypoints", "256", "--out", str(out_file)])
+    printed = json.loads(capsys.readouterr().out)
+    assert printed["n_frames"] == 10
+    assert printed["eval"]["ate_rel"] < 0.25, printed["eval"]
+    with open(out_file) as fh:
+        traj = json.load(fh)["trajectory"]
+    assert np.asarray(traj).shape == (10, 3)

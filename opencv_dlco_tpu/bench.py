@@ -425,6 +425,32 @@ def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
     return out
 
 
+def bench_matching(n_query=65_536, n_train=65_536, dims=(64, 128),
+                   block=4096):
+    """Batched kNN descriptor matching throughput (BASELINE.json config 3:
+    'batched kNN matching throughput at 1 chip'; metric 'matched pairs/s/
+    chip'). Counts candidate pairs scored per second (n_query * n_train
+    per call) and matched queries per second, for the learned-descriptor
+    width (64) and the SIFT-baseline width (128)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.knn import knn_match, mutual_nearest
+
+    out = {"n_query": n_query, "n_train": n_train, "block": block}
+    rng = np.random.default_rng(0)
+    for d in dims:
+        q = jnp.asarray(rng.normal(size=(n_query, d)).astype(np.float32))
+        t = jnp.asarray(rng.normal(size=(n_train, d)).astype(np.float32))
+        dt = _timeit(lambda: knn_match(q, t, k=2, block=block))
+        mt = _timeit(lambda: mutual_nearest(q, t, block=block))
+        out[f"knn2_time_d{d}"] = dt
+        out[f"pairs_per_sec_d{d}"] = n_query * n_train / dt
+        out[f"queries_per_sec_d{d}"] = n_query / dt
+        out[f"mutual_time_d{d}"] = mt
+    return out
+
+
 def bench_slam(n_frames=48, size=256, n_keypoints=256):
     """SLAM throughput (BASELINE.json KITTI config; no reference analogue).
 
@@ -521,6 +547,8 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["precision_fpr95"] = bench_precision_fpr95()
     if suite in ("all", "slam"):
         details["slam"] = bench_slam()
+    if suite in ("all", "matching"):
+        details["matching"] = bench_matching()
     details["total_bench_time"] = time.time() - t0
 
     with open(out_path, "w") as f:

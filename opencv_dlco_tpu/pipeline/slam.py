@@ -501,6 +501,15 @@ def _triangulate_many(r_rel, t_rel, x0, x1):
     )(r_rel, t_rel, x0, x1)
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _mvba_window_batch(r0, t0, pts, cam, pt, uv, table, w, *, n_iters):
+    """Multi-view BA vmapped over a batch of same-shape windows — every
+    window of a sequence refines in one device program."""
+    return jax.vmap(
+        lambda *a: multi_view_ba(*a, n_iters=n_iters)
+    )(r0, t0, pts, cam, pt, uv, table, w)
+
+
 def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
                 ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """Refine local geometry per window with multi-view BA; return refined
@@ -520,6 +529,7 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
         return {}
     tracks = build_tracks(result.pairs)
     edges: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    pending: List[dict] = []
 
     starts = list(range(0, max(1, n_frames - 2), cfg.ba_stride))
     for a in starts:
@@ -598,38 +608,63 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
         w = np.zeros(k_pad, np.float32)
         w[:k_obs] = 1.0
         pt[k_obs:] = np.arange(k_pad - k_obs) % (n_pad - n_lm) + n_lm
-        table, _ = build_landmark_table(pt, n_pad)
-        out = multi_view_ba(
-            jnp.asarray(r_cam.astype(np.float32)),
-            jnp.asarray(t_cam.astype(np.float32)),
-            jnp.asarray(pts), jnp.asarray(cam), jnp.asarray(pt),
-            jnp.asarray(uv), jnp.asarray(table), jnp.asarray(w),
+        # fixed table width m (a track observes each window frame at most
+        # once, and min_pad_lms bounds padding landmarks at m too) so that
+        # same-bucket windows share one vmapped program
+        table, _ = build_landmark_table(pt, n_pad, max_obs=m)
+        if table.shape[1] < m:
+            table = np.concatenate(
+                [table, np.full((n_pad, m - table.shape[1]), -1, np.int32)],
+                axis=1)
+        pending.append(dict(
+            a=a, m=m, r_cam=r_cam.astype(np.float32),
+            t_cam=t_cam.astype(np.float32), pts=pts, cam=cam, pt=pt,
+            uv=uv, table=table, w=w))
+
+    # run all same-shape windows as ONE vmapped MVBA program per group
+    # (windows are independent; a per-window dispatch loop left the chip
+    # idle between small programs)
+    groups: Dict[tuple, List[dict]] = {}
+    for p in pending:
+        groups.setdefault(
+            (p["m"], p["pts"].shape[0], p["uv"].shape[0]), []).append(p)
+    for grp in groups.values():
+        out = _mvba_window_batch(
+            *(jnp.asarray(np.stack([p[k] for p in grp]))
+              for k in ("r_cam", "t_cam", "pts", "cam", "pt", "uv",
+                        "table", "w")),
             n_iters=cfg.ba_window_iters)
-        costs = np.asarray(out.cost_history)
-        if not np.isfinite(costs[-1]) or costs[-1] > costs[0]:
-            continue  # keep the two-view edges for this window
-        r_ba = np.asarray(out.r)
-        t_ba = np.asarray(out.t)
-        # world_T_f = inv(extrinsic); edge Z_{k,k+1} = T_k^-1 T_{k+1}
-        rel = []
-        for k in range(m - 1):
-            # T_k^-1 T_{k+1} in world_T convention equals
-            # extr_k ∘ inv(extr_{k+1})
-            r_z = r_ba[k] @ r_ba[k + 1].T
-            t_z = t_ba[k] - r_z @ t_ba[k + 1]
-            rel.append((r_z, t_z))
-        # monocular scale-gauge anchor: BA's reduced system is singular
-        # along global scale (the LM damping lets it drift per window);
-        # re-anchor so the window's total baseline matches the input
-        # trajectory's (shape is BA's to refine, scale is not)
-        base_in = sum(
-            float(np.linalg.norm(t_cam[k + 1]
-                                 - (r_cam[k + 1] @ r_cam[k].T) @ t_cam[k]))
-            for k in range(m - 1))
-        base_ba = sum(float(np.linalg.norm(t)) for _, t in rel)
-        s = base_in / base_ba if base_ba > 1e-12 else 1.0
-        for k, (r_z, t_z) in enumerate(rel):
-            edges[a + k] = (r_z, t_z * s)
+        costs_all = np.asarray(out.cost_history)
+        r_all = np.asarray(out.r)
+        t_all = np.asarray(out.t)
+        for g, p in enumerate(grp):
+            costs = costs_all[g]
+            if not np.isfinite(costs[-1]) or costs[-1] > costs[0]:
+                continue  # keep the two-view edges for this window
+            a, m = p["a"], p["m"]
+            r_cam, t_cam = p["r_cam"], p["t_cam"]
+            r_ba, t_ba = r_all[g], t_all[g]
+            # world_T_f = inv(extrinsic); edge Z_{k,k+1} = T_k^-1 T_{k+1}
+            rel = []
+            for k in range(m - 1):
+                # T_k^-1 T_{k+1} in world_T convention equals
+                # extr_k ∘ inv(extr_{k+1})
+                r_z = r_ba[k] @ r_ba[k + 1].T
+                t_z = t_ba[k] - r_z @ t_ba[k + 1]
+                rel.append((r_z, t_z))
+            # monocular scale-gauge anchor: BA's reduced system is singular
+            # along global scale (the LM damping lets it drift per window);
+            # re-anchor so the window's total baseline matches the input
+            # trajectory's (shape is BA's to refine, scale is not)
+            base_in = sum(
+                float(np.linalg.norm(t_cam[k + 1]
+                                     - (r_cam[k + 1] @ r_cam[k].T)
+                                     @ t_cam[k]))
+                for k in range(m - 1))
+            base_ba = sum(float(np.linalg.norm(t)) for _, t in rel)
+            s = base_in / base_ba if base_ba > 1e-12 else 1.0
+            for k, (r_z, t_z) in enumerate(rel):
+                edges[a + k] = (r_z, t_z * s)
     return edges
 
 

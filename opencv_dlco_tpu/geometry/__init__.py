@@ -29,7 +29,12 @@ from .mvba import (
     multi_view_ba_sharded,
     shard_ba_problem,
 )
-from .posegraph import optimize_pose_graph, optimize_pose_graph_sim3
+from .posegraph import (
+    optimize_pose_graph,
+    optimize_pose_graph_sim3,
+    optimize_pose_graph_sharded,
+    optimize_pose_graph_sim3_sharded,
+)
 
 __all__ = [
     "hat", "vee", "so3_exp", "so3_log", "se3_exp", "se3_log",
@@ -42,5 +47,6 @@ __all__ = [
     "build_landmark_table", "multi_view_ba", "multi_view_ba_sharded",
     "shard_ba_problem",
     "optimize_pose_graph", "optimize_pose_graph_sim3",
+    "optimize_pose_graph_sharded", "optimize_pose_graph_sim3_sharded",
     "sim3_compose", "sim3_inverse", "sim3_exp",
 ]

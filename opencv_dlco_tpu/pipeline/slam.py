@@ -42,6 +42,8 @@ from ..geometry.mvba import build_landmark_table, multi_view_ba
 from ..geometry.posegraph import (
     optimize_pose_graph,
     optimize_pose_graph_sim3,
+    optimize_pose_graph_sharded,
+    optimize_pose_graph_sim3_sharded,
 )
 from ..geometry.triangulate import triangulate_points
 from ..models.vgg import VGGDescriptor
@@ -511,7 +513,7 @@ def _mvba_window_batch(r0, t0, pts, cam, pt, uv, table, w, *, n_iters):
 
 
 def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
-                ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+                mesh=None) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """Refine local geometry per window with multi-view BA; return refined
     odometry edge measurements {k: (R, t)} = i_T_j for edge (k, k+1).
 
@@ -623,16 +625,32 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
 
     # run all same-shape windows as ONE vmapped MVBA program per group
     # (windows are independent; a per-window dispatch loop left the chip
-    # idle between small programs)
+    # idle between small programs). With a mesh, the window axis shards
+    # over dp — "keyframes/map blocks partitioned per host"
+    # (BASELINE.json config 5): windows need no cross-talk, GSPMD just
+    # splits the vmapped batch.
     groups: Dict[tuple, List[dict]] = {}
     for p in pending:
         groups.setdefault(
             (p["m"], p["pts"].shape[0], p["uv"].shape[0]), []).append(p)
     for grp in groups.values():
+        n_grp = len(grp)
+        stacks = [np.stack([p[k] for p in grp])
+                  for k in ("r_cam", "t_cam", "pts", "cam", "pt", "uv",
+                            "table", "w")]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import data_axis
+            n_dp = mesh.shape[data_axis]
+            pad_g = -(-n_grp // n_dp) * n_dp - n_grp
+            stacks = [
+                jax.device_put(
+                    np.concatenate([st, np.repeat(st[-1:], pad_g, axis=0)])
+                    if pad_g else st,
+                    NamedSharding(mesh, P(data_axis)))
+                for st in stacks]
         out = _mvba_window_batch(
-            *(jnp.asarray(np.stack([p[k] for p in grp]))
-              for k in ("r_cam", "t_cam", "pts", "cam", "pt", "uv",
-                        "table", "w")),
+            *(jnp.asarray(st) for st in stacks),
             n_iters=cfg.ba_window_iters)
         costs_all = np.asarray(out.cost_history)
         r_all = np.asarray(out.r)
@@ -673,12 +691,15 @@ def refine_with_pose_graph(result: SlamResult,
                            odometry_overrides: Optional[Dict[int, Tuple[np.ndarray, np.ndarray]]] = None,
                            loop_weight: float = 1.0,
                            n_iters: int = 15,
-                           sim3: bool = False) -> SlamResult:
+                           sim3: bool = False,
+                           mesh=None) -> SlamResult:
     """Pose-graph polish: odometry edges from the chained pairs (optionally
     overridden by windowed-BA refinements) plus (i, j, R_ij, t_ij) loop
     closures. ``sim3=True`` optimises over Sim(3) — per-node scale states
     absorb monocular scale drift, which SE(3) edges structurally cannot
-    (use whenever loop closures are present)."""
+    (use whenever loop closures are present). With ``mesh``, edges shard
+    over the dp axis and the normal system psum-reduces (one collective
+    per LM iteration — the distributed back end of BASELINE config 5)."""
     ei, ej, rz, tz, wts = [], [], [], [], []
     overrides = odometry_overrides or {}
     for k, est in enumerate(result.pairs):
@@ -700,7 +721,12 @@ def refine_with_pose_graph(result: SlamResult,
         rz.append(np.asarray(r_ij))
         tz.append(np.asarray(t_ij))
         wts.append(loop_weight)
-    solver = optimize_pose_graph_sim3 if sim3 else optimize_pose_graph
+    if mesh is not None:
+        base = (optimize_pose_graph_sim3_sharded if sim3
+                else optimize_pose_graph_sharded)
+        solver = functools.partial(base, mesh)
+    else:
+        solver = optimize_pose_graph_sim3 if sim3 else optimize_pose_graph
     out = solver(
         jnp.asarray(result.rotations.astype(np.float32)),
         jnp.asarray(result.translations.astype(np.float32)),
@@ -717,10 +743,13 @@ def refine_with_pose_graph(result: SlamResult,
 
 def run_slam(frames, intrinsics, model: VGGDescriptor,
              cfg: Optional[SlamConfig] = None,
-             key: Optional[jax.Array] = None) -> SlamResult:
+             key: Optional[jax.Array] = None,
+             mesh=None) -> SlamResult:
     """Full pipeline: odometry -> keyframes -> loop detection -> windowed
     BA -> pose graph. Returns the refined trajectory with the keyframe set
-    and detected loop edges attached."""
+    and detected loop edges attached. With ``mesh``, the back end
+    distributes: BA windows shard over dp (map blocks per host) and the
+    pose graph's edge linearization psum-reduces (BASELINE config 5)."""
     cfg = cfg or SlamConfig()
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -730,13 +759,14 @@ def run_slam(frames, intrinsics, model: VGGDescriptor,
                        feats=feats)
     kf = select_keyframes(odo, cfg)
     loops = detect_loop_closures(feats, kf, odo, intrinsics, cfg, key=k_loop)
-    overrides = windowed_ba(odo, feats, intrinsics, cfg)
+    overrides = windowed_ba(odo, feats, intrinsics, cfg, mesh=mesh)
     odo.keyframes = kf
     odo.loop_edges = loops
     refined = refine_with_pose_graph(odo, loop_edges=loops,
                                      odometry_overrides=overrides,
                                      loop_weight=cfg.loop_weight,
-                                     sim3=cfg.use_sim3 and len(loops) > 0)
+                                     sim3=cfg.use_sim3 and len(loops) > 0,
+                                     mesh=mesh)
     return refined
 
 

@@ -226,3 +226,98 @@ def test_pr_sweep_sharded_over_dp_matches_single_device():
     from opencv_dlco_tpu.parallel.sharding import shard_sweep
     with pytest.raises(ValueError, match="pad the grid"):
         shard_sweep(mesh, mus[:30], gammas[:30], pr_init(256, 30))
+
+
+# -- distributed pose graph (BASELINE config 5 back end) --------------------
+
+def _noisy_loop_graph(m=24, n_loops=3, seed=11):
+    """Noisy odometry chain around a circle + exact loop-closure edges.
+    Returns (r0, t0, ei, ej, rz, tz, ts_gt) as float32/int32 jnp arrays."""
+    from opencv_dlco_tpu.geometry.se3 import se3_compose, se3_exp, se3_inverse
+
+    rng = np.random.default_rng(seed)
+    step_xi = jnp.asarray([0.5, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / m])
+    rs, ts = [np.eye(3)], [np.zeros(3)]
+    for _ in range(1, m):
+        dr, dt = se3_exp(step_xi)
+        r, t = se3_compose(jnp.asarray(rs[-1]), jnp.asarray(ts[-1]), dr, dt)
+        rs.append(np.asarray(r)); ts.append(np.asarray(t))
+    rs_gt, ts_gt = np.stack(rs), np.stack(ts)
+
+    ei, ej, rz, tz = [], [], [], []
+    rs0, ts0 = [rs_gt[0]], [ts_gt[0]]
+    for i in range(m - 1):
+        r_rel, t_rel = se3_compose(
+            *se3_inverse(jnp.asarray(rs_gt[i]), jnp.asarray(ts_gt[i])),
+            jnp.asarray(rs_gt[i + 1]), jnp.asarray(ts_gt[i + 1]))
+        noise = se3_exp(jnp.asarray(rng.normal(size=6) * 0.01))
+        r_n, t_n = se3_compose(r_rel, t_rel, *noise)
+        ei.append(i); ej.append(i + 1)
+        rz.append(np.asarray(r_n)); tz.append(np.asarray(t_n))
+        r0, t0 = se3_compose(jnp.asarray(rs0[-1]), jnp.asarray(ts0[-1]),
+                             r_n, t_n)
+        rs0.append(np.asarray(r0)); ts0.append(np.asarray(t0))
+    for k in range(n_loops):
+        i = k * (m // n_loops)
+        j = (i + m // 2) % m
+        i, j = min(i, j), max(i, j)
+        r_rel, t_rel = se3_compose(
+            *se3_inverse(jnp.asarray(rs_gt[i]), jnp.asarray(ts_gt[i])),
+            jnp.asarray(rs_gt[j]), jnp.asarray(ts_gt[j]))
+        ei.append(i); ej.append(j)
+        rz.append(np.asarray(r_rel)); tz.append(np.asarray(t_rel))
+    return (jnp.asarray(np.stack(rs0).astype(np.float32)),
+            jnp.asarray(np.stack(ts0).astype(np.float32)),
+            jnp.asarray(ei, dtype=jnp.int32),
+            jnp.asarray(ej, dtype=jnp.int32),
+            jnp.asarray(np.stack(rz).astype(np.float32)),
+            jnp.asarray(np.stack(tz).astype(np.float32)),
+            ts_gt)
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_pose_graph_sharded_matches_dense(dp, mp):
+    """Edge-sharded SE(3) pose graph == dense solver (psum order aside).
+
+    26 edges over dp=8 exercises the weight-0 padding path (26 -> 32)."""
+    from opencv_dlco_tpu.geometry.posegraph import (
+        optimize_pose_graph, optimize_pose_graph_sharded)
+
+    r0, t0, ei, ej, rz, tz, ts_gt = _noisy_loop_graph()
+    dense = optimize_pose_graph(r0, t0, ei, ej, rz, tz, n_iters=15)
+    mesh = make_mesh(dp=dp, mp=mp)
+    shard = optimize_pose_graph_sharded(mesh, r0, t0, ei, ej, rz, tz,
+                                        n_iters=15)
+    np.testing.assert_allclose(np.asarray(shard.t), np.asarray(dense.t),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(shard.r), np.asarray(dense.r),
+                               atol=1e-3)
+    costs_d = np.asarray(dense.cost_history)
+    costs_s = np.asarray(shard.cost_history)
+    assert costs_s[-1] < costs_s[0] * 0.1
+    np.testing.assert_allclose(costs_s, costs_d, rtol=1e-2, atol=1e-5)
+    # and it actually solves the problem (drift pulled back to gt)
+    drift = np.linalg.norm(np.asarray(shard.t) - ts_gt, axis=1).mean()
+    drift0 = np.linalg.norm(np.asarray(t0) - ts_gt, axis=1).mean()
+    assert drift < drift0 * 0.5
+
+
+def test_sim3_pose_graph_sharded_matches_dense():
+    """Edge-sharded Sim(3) graph == dense solver on a scale-drifted loop."""
+    from opencv_dlco_tpu.geometry.posegraph import (
+        optimize_pose_graph_sim3, optimize_pose_graph_sim3_sharded)
+
+    r0, t0, ei, ej, rz, tz, _ = _noisy_loop_graph(m=20, n_loops=2, seed=3)
+    # inject scale drift into the odometry measurements (monocular setting)
+    tz = tz.at[:19].multiply(
+        jnp.asarray(np.exp(0.02 * np.arange(19)), jnp.float32)[:, None])
+    dense = optimize_pose_graph_sim3(r0, t0, ei, ej, rz, tz, n_iters=15)
+    mesh = make_mesh(dp=8, mp=1)
+    shard = optimize_pose_graph_sim3_sharded(mesh, r0, t0, ei, ej, rz, tz,
+                                             n_iters=15)
+    np.testing.assert_allclose(np.asarray(shard.t), np.asarray(dense.t),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(shard.s), np.asarray(dense.s),
+                               atol=1e-3)
+    costs_s = np.asarray(shard.cost_history)
+    assert np.isfinite(costs_s).all() and costs_s[-1] < costs_s[0]

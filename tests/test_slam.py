@@ -318,3 +318,37 @@ def test_cli_slam_kitti_sequence(tmp_path, capsys):
     with open(out_file) as fh:
         traj = json.load(fh)["trajectory"]
     assert np.asarray(traj).shape == (10, 3)
+
+
+@requires_reference
+def test_windowed_ba_and_pose_graph_sharded_match(rng):
+    """Distributed back end == single-device back end on a short sequence:
+    BA windows dp-sharded over the 8-device mesh and the edge-sharded
+    pose-graph solve must reproduce the unsharded results (BASELINE
+    config 5's 'keyframes/map blocks partitioned per host')."""
+    import jax
+    from opencv_dlco_tpu.models.vgg import VGGDescriptor
+    from opencv_dlco_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    frames, rs_gt, ts_gt, intr = _sequence(rng, n_frames=8)
+    with open(f"{REFERENCE}/workspace/opencv/vgg_generated_64.i") as fh:
+        model = VGGDescriptor.from_header(fh.read())
+    cfg = SlamConfig(n_keypoints=256, ba_window=4, ba_stride=2)
+    feats = compute_features(frames, model, cfg)
+    odo = run_odometry(frames, intr, model, cfg, feats=feats)
+
+    mesh = make_mesh(dp=8, mp=1)
+    ov_1 = windowed_ba(odo, feats, intr, cfg)
+    ov_8 = windowed_ba(odo, feats, intr, cfg, mesh=mesh)
+    assert set(ov_1) == set(ov_8) and len(ov_1) >= 3
+    for k in ov_1:
+        np.testing.assert_allclose(ov_8[k][0], ov_1[k][0], atol=1e-4)
+        np.testing.assert_allclose(ov_8[k][1], ov_1[k][1], atol=1e-4)
+
+    ref_1 = refine_with_pose_graph(odo, odometry_overrides=ov_1, n_iters=10)
+    ref_8 = refine_with_pose_graph(odo, odometry_overrides=ov_1, n_iters=10,
+                                   mesh=mesh)
+    np.testing.assert_allclose(ref_8.translations, ref_1.translations,
+                               atol=1e-3)

@@ -462,8 +462,7 @@ def bench_slam(n_frames=48, size=256, n_keypoints=256):
     from .data.synthetic import render_blob_sequence
     from .models.vgg import VGGDescriptor
     from .pipeline.slam import (SlamConfig, ate_rmse, compute_features,
-                                detect_loop_closures, refine_with_pose_graph,
-                                run_odometry, select_keyframes, windowed_ba)
+                                run_back_end, run_odometry)
 
     header = "/root/reference/workspace/opencv/vgg_generated_64.i"
     if not os.path.exists(header):
@@ -485,18 +484,9 @@ def bench_slam(n_frames=48, size=256, n_keypoints=256):
     feats, odo = front_end()
     t_front = time.perf_counter() - t0
 
-    def back_end():
-        kf = select_keyframes(odo, cfg)
-        loops = detect_loop_closures(feats, kf, odo, intr, cfg)
-        overrides = windowed_ba(odo, feats, intr, cfg)
-        refined = refine_with_pose_graph(
-            odo, loop_edges=loops, odometry_overrides=overrides,
-            loop_weight=cfg.loop_weight, sim3=cfg.use_sim3 and len(loops) > 0)
-        return kf, loops, refined
-
-    kf, loops, refined = back_end()               # compile warmup
+    refined = run_back_end(odo, feats, intr, cfg)   # compile warmup
     t0 = time.perf_counter()
-    kf, loops, refined = back_end()
+    refined = run_back_end(odo, feats, intr, cfg)
     t_back = time.perf_counter() - t0
 
     span = float(np.linalg.norm(centers_gt.max(0) - centers_gt.min(0)))
@@ -506,8 +496,12 @@ def bench_slam(n_frames=48, size=256, n_keypoints=256):
         "front_end_fps": round(n_frames / t_front, 2),
         "full_stack_sec": round(t_front + t_back, 3),
         "full_stack_fps": round(n_frames / (t_front + t_back), 2),
-        "n_keyframes": int(len(kf)),
-        "n_loop_closures": len(loops),
+        "n_keyframes": int(refined.keyframes.shape[0]),
+        "n_loop_closures": len(refined.loop_edges),
+        "backbone_stride": (int(np.median(np.diff(odo.nodes)))
+                            if odo.nodes is not None else 1),
+        "ate_over_span_odometry": round(
+            ate_rmse(odo.translations, centers_gt) / span, 4),
         "ate_over_span": round(
             ate_rmse(refined.translations, centers_gt) / span, 4),
     }
@@ -547,6 +541,10 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["precision_fpr95"] = bench_precision_fpr95()
     if suite in ("all", "slam"):
         details["slam"] = bench_slam()
+    if suite in ("all", "slam_long"):
+        # KITTI-scale check: 4x the flagship sequence — front-end fps must
+        # hold (chunked programs amortise), back end grows ~linearly
+        details["slam_long"] = bench_slam(n_frames=192)
     if suite in ("all", "matching"):
         details["matching"] = bench_matching()
     details["total_bench_time"] = time.time() - t0

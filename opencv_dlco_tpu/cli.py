@@ -149,7 +149,12 @@ def cmd_slam(args):
     cfg = SlamConfig(n_keypoints=args.keypoints,
                      ba_window=args.ba_window,
                      loop_gap=args.loop_gap)
-    res = run_slam(frames, seq.intrinsics, model, cfg)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        dp, _, mp = args.mesh.partition(",")
+        mesh = make_mesh(dp=int(dp), mp=int(mp) if mp else 1)
+    res = run_slam(frames, seq.intrinsics, model, cfg, mesh=mesh)
     out = {
         "n_frames": len(seq),
         "n_keyframes": int(res.keyframes.shape[0]),
@@ -324,6 +329,10 @@ def main(argv=None):
     sp.add_argument("--ba-window", type=int, default=6)
     sp.add_argument("--loop-gap", type=int, default=12)
     sp.add_argument("--max-frames", type=int, default=None)
+    sp.add_argument("--mesh", default=None,
+                    help="distribute the back end over a dp[,mp] device "
+                         "mesh: BA windows shard over dp, the pose graph "
+                         "psum-reduces edge-sharded normal equations")
     sp.add_argument("--out", default=None,
                     help="write trajectory + eval JSON here")
     sp.set_defaults(fn=cmd_slam)

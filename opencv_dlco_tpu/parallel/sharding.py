@@ -294,3 +294,49 @@ def pr_sweep_chunk_sharded(mesh: Mesh, pos_trn, neg_trn, mus, gammas,
     return pr_train_chunk(pos_trn, neg_trn, mus, gammas, state, key,
                           batch=batch, n_steps=n_steps, sampling=sampling,
                           **kw)
+
+
+def shard_pj_sweep(mesh: Mesh, mus, gammas, states: PJState):
+    """Lay a PJ sweep out for pod execution: the S axis (hyperparameter
+    combos) shards over ``dp``; every stacked state field — including the
+    (S, F, F) metric/subgradient tensors whose batched eigh is the PJ
+    bottleneck — splits across devices. Data stays replicated per device
+    (same residency plan as shard_sweep). Zero collectives."""
+    n_dp = mesh.shape[data_axis]
+    s = states.w.shape[0]
+    if s % n_dp:
+        raise ValueError(f"sweep width {s} not divisible by dp={n_dp}; "
+                         f"pad the grid")
+    vec = NamedSharding(mesh, P(data_axis))
+
+    def put(x):
+        spec = P(data_axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return (jax.device_put(mus, vec), jax.device_put(gammas, vec),
+            jax.tree_util.tree_map(put, states))
+
+
+def pj_sweep_chunk_sharded(mesh: Mesh, pos_trn, neg_trn, mus, gammas,
+                           states: PJState, keys, *, batch: int,
+                           n_steps: int, eigh_mode: str = "exact",
+                           subspace_steps: int = 4) -> PJState:
+    """pj_train_chunk_batch with the sweep axis GSPMD-sharded over dp.
+
+    Same program, same per-entry RNG streams, results identical to the
+    single-device vmapped sweep — GSPMD partitions the vmap's batch axis,
+    so each device factorises S/dp of the (S, F, F) eigh batch (the
+    reference runs its 45-combo PJ grid as sequential processes,
+    08-pjlearn.sh; here the grid is one program across the pod)."""
+    from ..models.pj_rda import pj_train_chunk_batch
+
+    rep = replicated(mesh)
+    pos_trn = jax.device_put(pos_trn, rep)
+    neg_trn = jax.device_put(neg_trn, rep)
+    mus, gammas, states = shard_pj_sweep(mesh, mus, gammas, states)
+    keys = jax.device_put(
+        keys, NamedSharding(mesh, P(data_axis, *([None] * (keys.ndim - 1)))))
+    return pj_train_chunk_batch(pos_trn, neg_trn, mus, gammas, states, keys,
+                                batch=batch, n_steps=n_steps,
+                                eigh_mode=eigh_mode,
+                                subspace_steps=subspace_steps)

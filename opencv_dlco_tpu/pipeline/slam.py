@@ -63,6 +63,14 @@ class SlamConfig:
     # keyframe selection (motion-based; translation in propagated-scale units)
     kf_min_rotation: float = 0.04       # rad accumulated since last keyframe
     kf_min_translation: float = 0.25
+    # scale backbone: when consecutive-frame parallax falls below
+    # ``target_parallax`` (rad), chain monocular scale over strided
+    # wider-baseline pairs instead — narrow-baseline triangulated depths
+    # are noise-dominated and the per-frame scale chain compounds that
+    # noise multiplicatively (the KITTI-frame-rate failure mode)
+    auto_stride: bool = True
+    target_parallax: float = 0.05
+    max_stride: int = 8
     # loop-closure detection
     loop_gap: int = 12                  # min frame separation
     loop_top_k: int = 2                 # retrieval candidates per keyframe
@@ -98,6 +106,11 @@ class SlamResult:
     keyframes: np.ndarray = field(default_factory=lambda: np.empty(0, int))
     loop_edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = \
         field(default_factory=list)
+    # scale backbone (None when consecutive parallax was sufficient):
+    # frame ids of the backbone nodes and their strided pair estimates —
+    # the back end (keyframes/loops/BA/pose graph) runs on these
+    nodes: Optional[np.ndarray] = None
+    bb_pairs: Optional[List[PairEstimate]] = None
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -272,7 +285,12 @@ def batched_pair_poses(feats, pair_indices, intrinsics, cfg: SlamConfig,
             min_matches=cfg.min_matches)
         r, t, pts, good, src, tgt, n_ok, n_inl, usable = map(np.asarray, out)
         for p in range(e - s):
-            g = good[p]
+            # drop non-finite landmarks (degenerate triangulations can
+            # survive the cheirality gate with finite z but NaN x/y) and
+            # refuse estimates whose pose itself is non-finite
+            g = good[p] & np.isfinite(pts[p]).all(-1)
+            pose_ok = bool(np.isfinite(r[p]).all() and
+                           np.isfinite(t[p]).all())
             ests.append(PairEstimate(
                 rotation=r[p],
                 translation=t[p],
@@ -281,7 +299,7 @@ def batched_pair_poses(feats, pair_indices, intrinsics, cfg: SlamConfig,
                 points3d=pts[p][g],
                 n_inliers=int(n_inl[p]),
             ))
-            usable_flags.append(bool(usable[p]))
+            usable_flags.append(bool(usable[p]) and pose_ok)
     return ests, usable_flags
 
 
@@ -307,40 +325,17 @@ def _depth_map(kp_idx, depths_z, n_keypoints: int) -> np.ndarray:
     return out
 
 
-def run_odometry(frames, intrinsics, model: VGGDescriptor,
-                 cfg: Optional[SlamConfig] = None,
-                 key: Optional[jax.Array] = None,
-                 feats=None) -> SlamResult:
-    """Chain consecutive-pair estimates into an absolute trajectory.
-
-    Monocular scale: pair k's unit-norm translation is rescaled so that
-    landmarks of the shared middle frame agree in depth with pair k-1
-    (median depth ratio over common keypoints). Pass precomputed ``feats``
-    (from compute_features) to avoid re-extracting.
-    """
-    cfg = cfg or SlamConfig()
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    if feats is None:
-        feats = compute_features(frames, model, cfg)
-
-    n_kp = feats[0][1].shape[0]
-    pair_idx = [(i, i + 1) for i in range(len(feats) - 1)]
-    pairs, usable = batched_pair_poses(feats, pair_idx, intrinsics, cfg, key)
-    for i, u in enumerate(usable):
-        if not u:
-            raise ValueError(
-                f"too few matches between frames {i} and {i + 1}: "
-                f"{pairs[i].kp_prev_idx.size}")
-
-    # monocular scale chaining (host, vectorised per pair): rescale pair k
-    # so landmarks of the shared middle frame agree in depth with pair k-1
+def _chain_scales(pairs: Sequence[PairEstimate], n_kp: int,
+                  min_scale_points: int) -> None:
+    """Monocular scale chaining in place (host, vectorised per pair):
+    rescale pair k so landmarks of the shared middle frame agree in depth
+    with pair k-1 (median depth ratio over common keypoints)."""
     prev_depths: Optional[np.ndarray] = None  # (K,) z per kp of cur frame
     prev_scale = 1.0
     for est in pairs:
         if prev_depths is not None:
             scale = _median_depth_ratio(prev_depths, est.kp_prev_idx,
-                                        est.points3d, cfg.min_scale_points)
+                                        est.points3d, min_scale_points)
             if scale is None:
                 scale = prev_scale  # carry previous (drift, but no crash)
             # smooth motion bounds consecutive applied scales: a jump
@@ -355,19 +350,143 @@ def run_odometry(frames, intrinsics, model: VGGDescriptor,
         pts_next = est.points3d @ est.rotation.T + est.translation
         prev_depths = _depth_map(est.kp_next_idx, pts_next[:, 2], n_kp)
 
-    # chain absolute poses: world = frame 0; world_T_k (pure numpy — 3x3
-    # composes need no device round-trips)
-    rs = [np.eye(3)]
-    ts = [np.zeros(3)]
+
+def _chain_poses(pairs: Sequence[PairEstimate],
+                 r0=None, t0=None) -> Tuple[List, List]:
+    """Absolute poses from relative estimates (pure numpy — 3x3 composes
+    need no device round-trips): x_{k+1} = R x_k + t, so
+    world_T_{k+1} = world_T_k ∘ inv([R|t])."""
+    rs = [np.eye(3) if r0 is None else r0]
+    ts = [np.zeros(3) if t0 is None else t0]
     for est in pairs:
-        # pose maps frame-k coords to frame-k+1: x_{k+1} = R x_k + t
-        # world_T_{k+1} = world_T_k ∘ inv([R|t])
         r_inv = est.rotation.T
         t_inv = -r_inv @ est.translation
         rs.append(rs[-1] @ r_inv)
         ts.append(rs[-2] @ t_inv + ts[-1])
-    return SlamResult(rotations=np.stack(rs), translations=np.stack(ts),
-                      pairs=pairs)
+    return rs, ts
+
+
+def run_odometry(frames, intrinsics, model: VGGDescriptor,
+                 cfg: Optional[SlamConfig] = None,
+                 key: Optional[jax.Array] = None,
+                 feats=None) -> SlamResult:
+    """Chain consecutive-pair estimates into an absolute trajectory.
+
+    Monocular scale: pair k's unit-norm translation is rescaled so that
+    landmarks of the shared middle frame agree in depth with pair k-1
+    (median depth ratio over common keypoints). Pass precomputed ``feats``
+    (from compute_features) to avoid re-extracting.
+
+    Scale backbone (``cfg.auto_stride``): when the consecutive-frame
+    parallax (≈ 1/median-landmark-depth at unit baseline) is below
+    ``cfg.target_parallax``, a second batched pass estimates strided
+    wider-baseline pairs; monocular scale chains over the backbone (N/s
+    compounding steps of far less depth noise) and each segment's
+    consecutive estimates are rescaled to the backbone's baseline, with
+    endpoint discrepancies distributed linearly — keyframe-to-frame
+    tracking the way production monocular systems survive high frame
+    rates, built from the same batched pair program.
+    """
+    cfg = cfg or SlamConfig()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, k_bb = jax.random.split(key)
+    if feats is None:
+        feats = compute_features(frames, model, cfg)
+
+    n_kp = feats[0][1].shape[0]
+    n_frames = len(feats)
+    pair_idx = [(i, i + 1) for i in range(n_frames - 1)]
+    pairs, usable = batched_pair_poses(feats, pair_idx, intrinsics, cfg, key)
+    for i, u in enumerate(usable):
+        if not u:
+            raise ValueError(
+                f"too few matches between frames {i} and {i + 1}: "
+                f"{pairs[i].kp_prev_idx.size}")
+
+    # pick the scale-backbone stride from measured parallax: landmark
+    # depths are in unit-baseline units, so parallax ≈ 1/median-depth
+    stride = 1
+    if cfg.auto_stride:
+        meds = [float(np.median(est.points3d[:, 2]))
+                for est in pairs if est.points3d.shape[0] >= 8]
+        if meds:
+            med_depth = float(np.median(meds))
+            stride = int(np.clip(np.ceil(med_depth * cfg.target_parallax),
+                                 1, cfg.max_stride))
+            stride = min(stride, max(1, (n_frames - 1) // 2))
+
+    if stride > 1:
+        nodes = list(range(0, n_frames, stride))
+        if nodes[-1] != n_frames - 1:
+            nodes.append(n_frames - 1)
+        bb_idx = list(zip(nodes[:-1], nodes[1:]))
+        bb_pairs, bb_usable = batched_pair_poses(feats, bb_idx, intrinsics,
+                                                 cfg, k_bb)
+        if not all(bb_usable):
+            stride = 1  # weak overlap at this stride: consecutive fallback
+
+    if stride == 1:
+        _chain_scales(pairs, n_kp, cfg.min_scale_points)
+        rs, ts = _chain_poses(pairs)
+        return SlamResult(rotations=np.stack(rs), translations=np.stack(ts),
+                          pairs=pairs)
+
+    # scale chaining over the backbone, then absolute backbone poses
+    _chain_scales(bb_pairs, n_kp, cfg.min_scale_points)
+    rs_bb, ts_bb = _chain_poses(bb_pairs)
+
+    # rescale each segment's consecutive estimates to backbone units
+    # (downstream consumers — keyframing, loop-closure scale maps,
+    # pose-graph edges — all read pairs[...] in trajectory scale)
+    for k, (a, b) in enumerate(bb_idx):
+        seg = pairs[a:b]
+        lr, lt = _chain_poses(seg)
+        est_bb = bb_pairs[k]
+        t_ab = -est_bb.rotation.T @ est_bb.translation
+        chain_len = float(np.linalg.norm(lt[-1]))
+        alpha = (float(np.linalg.norm(t_ab)) / chain_len
+                 if chain_len > 1e-9 else 1.0)
+        for est in seg:
+            est.translation = est.translation * alpha
+            est.points3d = est.points3d * alpha
+    nodes = np.asarray([a for a, _ in bb_idx] + [bb_idx[-1][1]], int)
+    rs_all, ts_all = _hang_intermediates(rs_bb, ts_bb, nodes, pairs)
+    return SlamResult(rotations=rs_all, translations=ts_all, pairs=pairs,
+                      nodes=nodes, bb_pairs=bb_pairs)
+
+
+def _hang_intermediates(rs_nodes, ts_nodes, nodes: np.ndarray,
+                        pairs: Sequence[PairEstimate]
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """All-frame trajectory from node poses + consecutive estimates.
+
+    Within each backbone segment the (already backbone-rescaled)
+    consecutive chain is re-anchored to the node endpoints: one scalar
+    rescale to match the node baseline, endpoint discrepancy distributed
+    linearly over the segment. Used both at odometry time and to re-hang
+    frames after the node-level pose-graph solve."""
+    n_frames = int(nodes[-1]) + 1
+    rs_all = [None] * n_frames
+    ts_all = [None] * n_frames
+    for k in range(len(nodes) - 1):
+        a, b = int(nodes[k]), int(nodes[k + 1])
+        rs_all[a], ts_all[a] = rs_nodes[k], ts_nodes[k]
+        rs_all[b], ts_all[b] = rs_nodes[k + 1], ts_nodes[k + 1]
+        seg = pairs[a:b]
+        lr, lt = _chain_poses(seg)
+        # frame-b offset in frame-a coords per the node poses
+        t_ab = rs_nodes[k].T @ (ts_nodes[k + 1] - ts_nodes[k])
+        chain_len = float(np.linalg.norm(lt[-1]))
+        alpha = (float(np.linalg.norm(t_ab)) / chain_len
+                 if chain_len > 1e-9 else 1.0)
+        d = t_ab - alpha * lt[-1]
+        n_seg = len(seg)
+        for m in range(1, n_seg):
+            pos = alpha * lt[m] + (m / n_seg) * d
+            rs_all[a + m] = rs_all[a] @ lr[m]
+            ts_all[a + m] = rs_all[a] @ pos + ts_all[a]
+    return np.stack(rs_all), np.stack(ts_all)
 
 
 def select_keyframes(result: SlamResult, cfg: SlamConfig) -> np.ndarray:
@@ -741,6 +860,61 @@ def refine_with_pose_graph(result: SlamResult,
                       loop_edges=result.loop_edges)
 
 
+def run_back_end(odo: SlamResult, feats, intrinsics, cfg: SlamConfig,
+                 key: Optional[jax.Array] = None, mesh=None) -> SlamResult:
+    """Keyframes -> loop detection -> windowed BA -> pose graph.
+
+    When odometry produced a scale backbone, the WHOLE back end runs on
+    the backbone nodes (the keyframe rate of a production system): node
+    pairs carry the wide-baseline landmarks, loop scale voting reads
+    their clean depths, windowed BA refines node poses, the pose graph
+    solves over M = #nodes, and intermediate frames are re-hung off the
+    optimized nodes — back-end cost scales with keyframes, not frames.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    if odo.nodes is not None and len(odo.nodes) >= 4:
+        nodes = odo.nodes
+        stride = max(1, int(np.median(np.diff(nodes))))
+        node_cfg = SlamConfig(**{**cfg.__dict__,
+                                 "loop_gap": max(2, cfg.loop_gap // stride)})
+        node_traj = SlamResult(
+            rotations=odo.rotations[nodes],
+            translations=odo.translations[nodes],
+            pairs=odo.bb_pairs)
+        feats_n = [feats[int(n)] for n in nodes]
+        kf_local = select_keyframes(node_traj, node_cfg)
+        loops_n = detect_loop_closures(feats_n, kf_local, node_traj,
+                                       intrinsics, node_cfg, key=key)
+        overrides = windowed_ba(node_traj, feats_n, intrinsics, node_cfg,
+                                mesh=mesh)
+        node_traj.keyframes = kf_local
+        node_traj.loop_edges = loops_n
+        refined_n = refine_with_pose_graph(
+            node_traj, loop_edges=loops_n, odometry_overrides=overrides,
+            loop_weight=cfg.loop_weight,
+            sim3=cfg.use_sim3 and len(loops_n) > 0, mesh=mesh)
+        rs_all, ts_all = _hang_intermediates(
+            refined_n.rotations, refined_n.translations, nodes, odo.pairs)
+        return SlamResult(
+            rotations=rs_all, translations=ts_all, pairs=odo.pairs,
+            keyframes=nodes[kf_local],
+            loop_edges=[(int(nodes[i]), int(nodes[j]), r, t)
+                        for i, j, r, t in loops_n],
+            nodes=nodes, bb_pairs=odo.bb_pairs)
+
+    kf = select_keyframes(odo, cfg)
+    loops = detect_loop_closures(feats, kf, odo, intrinsics, cfg, key=key)
+    overrides = windowed_ba(odo, feats, intrinsics, cfg, mesh=mesh)
+    odo.keyframes = kf
+    odo.loop_edges = loops
+    return refine_with_pose_graph(odo, loop_edges=loops,
+                                  odometry_overrides=overrides,
+                                  loop_weight=cfg.loop_weight,
+                                  sim3=cfg.use_sim3 and len(loops) > 0,
+                                  mesh=mesh)
+
+
 def run_slam(frames, intrinsics, model: VGGDescriptor,
              cfg: Optional[SlamConfig] = None,
              key: Optional[jax.Array] = None,
@@ -753,21 +927,11 @@ def run_slam(frames, intrinsics, model: VGGDescriptor,
     cfg = cfg or SlamConfig()
     if key is None:
         key = jax.random.PRNGKey(0)
-    key, k_odo, k_loop = jax.random.split(key, 3)
+    key, k_odo, k_back = jax.random.split(key, 3)
     feats = compute_features(frames, model, cfg)
     odo = run_odometry(frames, intrinsics, model, cfg, key=k_odo,
                        feats=feats)
-    kf = select_keyframes(odo, cfg)
-    loops = detect_loop_closures(feats, kf, odo, intrinsics, cfg, key=k_loop)
-    overrides = windowed_ba(odo, feats, intrinsics, cfg, mesh=mesh)
-    odo.keyframes = kf
-    odo.loop_edges = loops
-    refined = refine_with_pose_graph(odo, loop_edges=loops,
-                                     odometry_overrides=overrides,
-                                     loop_weight=cfg.loop_weight,
-                                     sim3=cfg.use_sim3 and len(loops) > 0,
-                                     mesh=mesh)
-    return refined
+    return run_back_end(odo, feats, intrinsics, cfg, key=k_back, mesh=mesh)
 
 
 def ate_rmse(traj: np.ndarray, gt: np.ndarray,

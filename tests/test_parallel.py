@@ -321,3 +321,43 @@ def test_sim3_pose_graph_sharded_matches_dense():
                                atol=1e-3)
     costs_s = np.asarray(shard.cost_history)
     assert np.isfinite(costs_s).all() and costs_s[-1] < costs_s[0]
+
+
+def test_pj_sweep_sharded_over_dp_matches_single_device():
+    """Pod-level PJ sweep: S=8 combos (states + batched eigh) sharded over
+    dp=8 must reproduce the single-device vmapped sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from opencv_dlco_tpu.models.pj_rda import (
+        pj_init_batch, pj_train_chunk_batch)
+    from opencv_dlco_tpu.parallel.sharding import (
+        pj_sweep_chunk_sharded, shard_pj_sweep)
+
+    rng = np.random.default_rng(17)
+    f_dim = 32
+    pos = jnp.asarray(rng.normal(0, 0.3, (256, f_dim)).astype(np.float32))
+    neg = jnp.asarray(rng.normal(0, 1.0, (256, f_dim)).astype(np.float32))
+    s = 8
+    mus = jnp.linspace(1e-4, 1e-3, s).astype(jnp.float32)
+    gammas = jnp.linspace(0.02, 0.2, s).astype(jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(9), s)
+
+    st_ref = pj_train_chunk_batch(pos, neg, mus, gammas,
+                                  pj_init_batch(f_dim, s), keys,
+                                  batch=64, n_steps=5)
+    mesh = make_mesh(dp=8, mp=1)
+    st_sh = pj_sweep_chunk_sharded(mesh, pos, neg, mus, gammas,
+                                   pj_init_batch(f_dim, s), keys,
+                                   batch=64, n_steps=5)
+    # each device holds one sweep entry's full (F, F) state
+    shard_shapes = {sd.data.shape for sd in st_sh.a.addressable_shards}
+    assert shard_shapes == {(1, f_dim, f_dim)}
+    np.testing.assert_allclose(np.asarray(st_sh.w), np.asarray(st_ref.w),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_sh.a), np.asarray(st_ref.a),
+                               rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(st_sh.t) == np.asarray(st_ref.t))
+
+    with pytest.raises(ValueError, match="pad the grid"):
+        shard_pj_sweep(mesh, mus[:6], gammas[:6], pj_init_batch(f_dim, 6))

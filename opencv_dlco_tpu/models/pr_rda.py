@@ -119,20 +119,35 @@ def pr_train_chunk(pos_trn: jax.Array, neg_trn: jax.Array,
     and df_avg/w stay float32 throughout.
     """
     tile_b = 128
+    s_axis = state.w.shape[0]
+    f_dim = pos_trn.shape[1]
     if (sampling == "block_fused" and batch % tile_b == 0
-            and batch < min(pos_trn.shape[0], neg_trn.shape[0])
-            and state.w.shape[0] <= 8):
-        # the whole chunk runs as ONE Pallas kernel: n_steps sampled
-        # blocks stream through VMEM, the RDA update executes in-core at
-        # each step's last tile, the iterate never round-trips HBM
-        # (ops/fused_rda.fused_block_train)
-        from ..ops.fused_rda import fused_block_train
+            and batch < min(pos_trn.shape[0], neg_trn.shape[0])):
+        if s_axis <= 8:
+            # the whole chunk runs as ONE Pallas kernel: n_steps sampled
+            # blocks stream through VMEM, the RDA update executes in-core
+            # at each step's last tile, the iterate never round-trips HBM
+            # (ops/fused_rda.fused_block_train)
+            from ..ops.fused_rda import fused_block_train
 
-        w, df_avg, t = fused_block_train(
-            pos_trn, neg_trn, state.w, state.df_avg, state.t, mu, gamma,
-            key, batch=batch, n_steps=n_steps, tile_b=tile_b,
-            interpret=jax.default_backend() != "tpu")
-        return PRState(w=w, df_avg=df_avg, t=t)
+            w, df_avg, t = fused_block_train(
+                pos_trn, neg_trn, state.w, state.df_avg, state.t, mu,
+                gamma, key, batch=batch, n_steps=n_steps, tile_b=tile_b,
+                interpret=jax.default_backend() != "tpu")
+            return PRState(w=w, df_avg=df_avg, t=t)
+        # wide sweep axis: w + df resident in VMEM, g folded into df —
+        # only engage when the residents + streaming tiles fit
+        # (ops/fused_rda.fused_block_train_wide); VERDICT r2 next #5
+        resident = s_axis * f_dim * (pos_trn.dtype.itemsize + 4)
+        tiles = 4 * tile_b * f_dim * pos_trn.dtype.itemsize
+        if resident + tiles <= 12 * 2 ** 20:
+            from ..ops.fused_rda import fused_block_train_wide
+
+            w, df_avg, t = fused_block_train_wide(
+                pos_trn, neg_trn, state.w, state.df_avg, state.t, mu,
+                gamma, key, batch=batch, n_steps=n_steps, tile_b=tile_b,
+                interpret=jax.default_backend() != "tpu")
+            return PRState(w=w, df_avg=df_avg, t=t)
 
     keys = jax.random.split(key, n_steps)
 

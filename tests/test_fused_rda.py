@@ -61,21 +61,70 @@ def test_block_fused_training_converges():
     assert len(set(top.tolist()) & set(info.tolist())) >= 8
 
 
-def test_block_fused_falls_back_when_sweep_wide():
-    """S > 8 must silently use the XLA block path (same math)."""
+def test_block_fused_falls_back_when_vmem_exceeded():
+    """A sweep axis too wide for VMEM residency (resident w + df + tiles
+    over the 12 MiB budget in pr_train_chunk) must silently use the XLA
+    block path — same math, same RNG stream."""
     rng = np.random.default_rng(13)  # pinned: suite-order independent
-    pos = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (512, 128))).astype(np.float32))
-    neg = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (512, 128))).astype(np.float32))
-    s = 16
+    f_dim, s = 5120, 384             # 384*5120*8 B residents ≈ 15.7 MiB
+    pos = jnp.asarray(
+        np.abs(rng.normal(1.0, 0.5, (384, f_dim))).astype(np.float32))
+    neg = jnp.asarray(
+        np.abs(rng.normal(1.2, 0.5, (384, f_dim))).astype(np.float32))
     mu = jnp.full((s,), 0.02, jnp.float32)
     gamma = jnp.full((s,), 0.1, jnp.float32)
     key = jax.random.PRNGKey(0)
-    st_f = pr_train_chunk(pos, neg, mu, gamma, pr_init(128, s), key,
-                          batch=128, n_steps=4, sampling="block_fused")
-    st_b = pr_train_chunk(pos, neg, mu, gamma, pr_init(128, s), key,
-                          batch=128, n_steps=4, sampling="block")
+    st_f = pr_train_chunk(pos, neg, mu, gamma, pr_init(f_dim, s), key,
+                          batch=128, n_steps=2, sampling="block_fused")
+    st_b = pr_train_chunk(pos, neg, mu, gamma, pr_init(f_dim, s), key,
+                          batch=128, n_steps=2, sampling="block")
     np.testing.assert_allclose(np.asarray(st_f.w), np.asarray(st_b.w),
                                rtol=1e-6)
+
+
+def test_fused_block_train_wide_matches_stepwise():
+    """The wide-S whole-chunk kernel (df-folding, no g scratch) must match
+    a stepwise XLA replay of the same tile-aligned offsets on f32 inputs —
+    the fold df <- df*t/(t+B); df += g_tile/(t+B) is algebraically the
+    exact RDA average."""
+    from opencv_dlco_tpu.ops.fused_rda import fused_block_train_wide
+
+    rng = np.random.default_rng(17)
+    n, f, batch, tile_b, n_steps, s = 1024, 384, 256, 128, 5, 16
+    pos = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (n, f))).astype(np.float32))
+    neg = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (n, f))).astype(np.float32))
+    mu = jnp.asarray(np.geomspace(0.005, 0.08, s), jnp.float32)
+    gamma = jnp.asarray(np.geomspace(0.02, 0.5, s), jnp.float32)
+    key = jax.random.PRNGKey(21)
+
+    w, df, t = fused_block_train_wide(
+        pos, neg, jnp.zeros((s, f), jnp.float32),
+        jnp.zeros((s, f), jnp.float32), jnp.int32(0), mu, gamma, key,
+        batch=batch, n_steps=n_steps, tile_b=tile_b, interpret=not ON_TPU)
+    assert int(t) == batch * n_steps
+
+    w_r = jnp.zeros((s, f), jnp.float32)
+    df_r = jnp.zeros((s, f), jnp.float32)
+    t_r = 0
+    hi_p = (n - batch) // tile_b + 1
+    for k in jax.random.split(key, n_steps):
+        kp, kn = jax.random.split(k)
+        ip0 = int(jax.random.randint(kp, (), 0, hi_p)) * tile_b
+        in0 = int(jax.random.randint(kn, (), 0, hi_p)) * tile_b
+        fd = (jax.lax.dynamic_slice(pos, (ip0, 0), (batch, f))
+              - jax.lax.dynamic_slice(neg, (in0, 0), (batch, f)))
+        fv = jnp.matmul(fd, w_r.T, precision=jax.lax.Precision.HIGHEST)
+        viol = (fv > -1.0).astype(jnp.float32)
+        g = jnp.matmul(viol.T, fd, precision=jax.lax.Precision.HIGHEST)
+        tn = t_r + batch
+        df_r = (t_r * df_r + g) / tn
+        w_r = jnp.maximum(0.0, -jnp.sqrt(float(tn)) / gamma[:, None]
+                          * (df_r + mu[:, None]))
+        t_r = tn
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_r),
+                               rtol=3e-5, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_r),
+                               rtol=3e-5, atol=3e-4)
 
 
 def test_fused_block_grad_bf16_inputs():

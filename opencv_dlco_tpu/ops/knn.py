@@ -27,13 +27,22 @@ def pairwise_sq_dists(a: jax.Array, b: jax.Array,
     return jnp.maximum(na + nb.T - 2.0 * g, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+@functools.partial(jax.jit, static_argnames=("k", "block", "precision"))
 def knn_match(query: jax.Array, train: jax.Array, k: int = 2,
-              block: int = 4096):
+              block: int = 4096,
+              precision=jax.lax.Precision.DEFAULT):
     """Top-k nearest training descriptors per query, blockwise.
 
     Returns (dists (N, k) ascending, idx (N, k) int32). The full N x M
     matrix never exists: column blocks stream through a running-top-k merge.
+
+    ``precision`` applies to the distance GEMM. The default (bf16
+    multiplies, f32 accumulation on TPU) is match-set-identity-gated
+    against HIGHEST (tests/test_knn_pallas.py): a ratio-test consumer
+    tolerates bf16-grade distances exactly like the hinge gate in the PR
+    solver (models/pr_rda.py). Pass Precision.HIGHEST for 6-pass-f32
+    distances. For k=2 at scale, ops/knn_pallas.knn2_fused fuses the GEMM
+    with the top-2 merge and is ~10x faster still.
     """
     n, d = query.shape
     m = train.shape[0]
@@ -50,7 +59,7 @@ def knn_match(query: jax.Array, train: jax.Array, k: int = 2,
         tb, off = inp
         ntb = jnp.where(jnp.isfinite(tb[:, :1]),
                         jnp.sum(tb * tb, axis=1, keepdims=True), jnp.inf)
-        g = jnp.matmul(query, tb.T, precision=_HIGHEST)
+        g = jnp.matmul(query, tb.T, precision=precision)
         dist = jnp.maximum(nq + ntb.T - 2.0 * g, 0.0)
         dist = jnp.where(jnp.isfinite(ntb.T), dist, jnp.inf)
         cand_d = jnp.concatenate([best_d, dist], axis=1)

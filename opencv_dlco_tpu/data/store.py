@@ -151,6 +151,74 @@ class ArtifactStore:
         return json.loads(self._f.attrs[key])
 
 
+class NullStore:
+    """Write-sink with the ArtifactStore interface: every mutation is a
+    no-op and every read reports emptiness.
+
+    Handed to non-primary processes of a multi-host run in place of a real
+    writer (parallel/distributed.is_primary): the compute path stays
+    byte-identical across processes — mandatory, since sharded programs
+    are collective — while only host 0 touches the artifact files (two
+    processes appending to one HDF5 file would corrupt it; reference
+    analogue: none, the reference is single-process, SURVEY.md §2)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    def exists(self, name: str) -> bool:
+        return False
+
+    def write(self, name, data, chunk_rows=None, compression=None) -> None:
+        pass
+
+    def create(self, name, shape, dtype, chunk_rows=None,
+               compression=None) -> None:
+        pass
+
+    def write_rows(self, name, start, rows) -> None:
+        pass
+
+    def append_row(self, name, row) -> int:
+        return 0
+
+    def truncate_rows(self, name, n_rows) -> None:
+        pass
+
+    def set_meta(self, key, value) -> None:
+        pass
+
+    def get_meta(self, key, default=None):
+        return default
+
+    def read(self, name, start=None, stop=None):
+        raise RuntimeError(
+            "NullStore is write-only: non-primary processes must not read "
+            f"artifacts they never wrote ({self.path}:{name})")
+
+    shape = read
+    iter_rows = read
+
+
+def writer_store(path: str, mode: str = "a"):
+    """ArtifactStore on the primary process, NullStore elsewhere.
+
+    The multi-host write-discipline chokepoint: stage/sweep writers open
+    their output through this so a 2+-process run produces exactly one
+    copy of every artifact (see tests/test_distributed_procs.py)."""
+    from ..parallel.distributed import is_primary
+
+    return ArtifactStore(path, mode) if is_primary() else NullStore(path)
+
+
 def parse_model_ref(ref: str) -> Tuple[str, int]:
     """Split the reference's `path.h5#row` checkpoint address convention
     (workspace/07-compunproj.sh:10-17); row defaults to the last one (-1)."""

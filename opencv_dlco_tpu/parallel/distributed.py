@@ -44,15 +44,21 @@ def distributed_init(coordinator: Optional[str] = None,
     if process_id is None and "DLCO_PROCESS_ID" in os.environ:
         process_id = int(os.environ["DLCO_PROCESS_ID"])
 
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count() > 1
 
+    # Decide from args/env ALONE whether to initialize: jax.process_count()
+    # (or any other backend query) before jax.distributed.initialize would
+    # itself initialise the XLA backend and make initialize() impossible —
+    # the failure mode the real 2-process test caught
+    # (tests/test_distributed_procs.py).
     if num_processes is not None and num_processes <= 1:
         return False
     if coordinator is None and num_processes is None:
-        # nothing requested and nothing auto-detectable to join
-        return False
+        # nothing requested and nothing auto-detectable to join; report
+        # whatever runtime already exists (safe to query here — we are not
+        # going to initialize)
+        return jax.process_count() > 1
 
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,

@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.store import ArtifactStore
+from ..data.store import ArtifactStore, writer_store
 from ..models.pr_rda import PRState, pr_init, pr_train_chunk, pr_validate
 from ..models.pj_rda import pj_validate
 from ..models.select import (
@@ -123,10 +123,17 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                                   "matmul_precision": base.matmul_precision,
                                   "split_dtype": base.split_dtype})
 
+    from ..parallel.distributed import is_primary
+
+    primary = is_primary()
     ckpt_path = ws.path("pr-learn", f"{ds}-sweep-ckpt.h5")
     done_logs = 0
     resume = None
-    if os.path.exists(ckpt_path):
+    # only the primary resumes: non-primary results are write-discarded, so
+    # skipping their resume costs nothing and avoids reading an HDF5 file
+    # the primary holds open for append (the sweep's compute is
+    # process-local — no collectives — so divergent log counts are safe)
+    if primary and os.path.exists(ckpt_path):
         with ArtifactStore(ckpt_path, "r") as ck:
             if ck.get_meta("signature") == signature:
                 resume = load_solver_state(ck, PRState)
@@ -135,7 +142,7 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                 best_obj = jnp.asarray(ck.read("best_obj"))
                 best_w = jnp.asarray(ck.read("best_w"))
                 row_counts = ck.read("row_counts")
-        if resume is None:
+        if resume is None and primary:
             os.remove(ckpt_path)
 
     if resume is not None:
@@ -148,15 +155,16 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
         row_counts = np.zeros((s,), np.int64)
 
     log = MetricLogger(jsonl_path=ws.path("pr-learn", "logging",
-                                          f"{ds}-sweep.jsonl"))
+                                          f"{ds}-sweep.jsonl")
+                       if primary else None)
     stores = {}
     try:
         for si, c in enumerate(combos):
             run = f"{ds}-{c[0]}-{c[1]}-pr"
             path = ws.path("pr-learn", f"{run}.h5")
-            if resume is None and os.path.exists(path):
+            if primary and resume is None and os.path.exists(path):
                 os.remove(path)
-            stores[c] = ArtifactStore(path, "a")
+            stores[c] = writer_store(path, "a")
             if resume is not None:
                 # drop any rows appended after the checkpoint was taken
                 stores[c].truncate_rows("w", int(row_counts[si]))
@@ -189,7 +197,7 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                 t=int(state.t), improved=int(imp_idx.size),
                 med_obj=float(jnp.median(obj)),
             )
-            with ArtifactStore(ckpt_path, "a") as ck:
+            with writer_store(ckpt_path, "a") as ck:
                 save_solver_state(ck, state, key,
                                   extra={"completed_logs": li + 1},
                                   compression=0)
@@ -211,7 +219,7 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                                 obj=float(obj_np[si]), nnz=int(nnz_np[si]),
                                 model=stores[c].path))
         results.sort(key=lambda r: r["obj"])
-        if os.path.exists(ckpt_path):
+        if primary and os.path.exists(ckpt_path):
             os.remove(ckpt_path)
         return results
     finally:
@@ -264,10 +272,13 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
     signature = _sweep_signature(combos, base, n_feat,
                                  {"eigh_mode": base.eigh_mode,
                                   "rank_cap": rank_cap})
+    from ..parallel.distributed import is_primary
+
+    primary = is_primary()
     ckpt_path = ws.path("pj-learn", f"{run_label}-sweep-ckpt.h5")
     done_logs = 0
     resume = None
-    if os.path.exists(ckpt_path):
+    if primary and os.path.exists(ckpt_path):  # see run_pr_sweep note
         with ArtifactStore(ckpt_path, "r") as ck:
             if ck.get_meta("signature") == signature:
                 resume = load_solver_state(ck, PJState)
@@ -276,7 +287,7 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                 best_obj = jnp.asarray(ck.read("best_obj"))
                 best_w = jnp.asarray(ck.read("best_w"))
                 best_a = jnp.asarray(ck.read("best_a"))
-        if resume is None:
+        if resume is None and primary:
             os.remove(ckpt_path)
 
     if resume is not None:
@@ -298,11 +309,12 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                 jnp.where(improved[:, None, None], a, best_a))
 
     log = MetricLogger(jsonl_path=ws.path("pj-learn", "logging",
-                                          f"{run_label}-sweep.jsonl"))
+                                          f"{run_label}-sweep.jsonl")
+                       if primary else None)
     t0 = time.perf_counter()
 
     def save_ckpt(li):
-        with ArtifactStore(ckpt_path, "a") as ck:
+        with writer_store(ckpt_path, "a") as ck:
             save_solver_state(ck, states, key,
                               extra={"completed_logs": li + 1},
                               compression=0)
@@ -344,7 +356,7 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
             w_np = best_w_np[si]
             stats = compute_pj_stats_splits(splits, w_np)
             out = ws.path("pj-learn", f"{run_label}-{mu}-{gamma}-pj.h5")
-            with ArtifactStore(out, "w") as st:
+            with writer_store(out, "w") as st:
                 st.write("W", w_np[np.any(w_np != 0.0, axis=1)])
                 st.write("A", best_a_np[si])
                 st.set_meta("done_iters", f"{base.n_iter}")
@@ -357,7 +369,7 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                                     "auc": stats["auc"],
                                     "fpr95": stats["fpr95"]}))
         results.sort(key=lambda r: r.get("fpr95", np.inf))
-        if os.path.exists(ckpt_path):
+        if primary and os.path.exists(ckpt_path):
             os.remove(ckpt_path)
         return results
     finally:

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..data.brown import convert_brown_patches, pair_labels
-from ..data.store import ArtifactStore, parse_model_ref
+from ..data.store import ArtifactStore, parse_model_ref, writer_store
+from ..parallel.distributed import is_primary
 from ..models.pr_rda import PRState, pr_init, pr_train_chunk, pr_validate
 from ..models.pj_rda import pj_init, pj_train_chunk, pj_validate
 from ..models.select import (
@@ -233,7 +234,10 @@ class Workspace:
         log_path = self.path("pr-learn", "logging", f"{run}.jsonl")
         marker = f"{cfg.n_iter}"
         resume = None
-        if os.path.exists(out):
+        # resume reads are primary-only: non-primary output is discarded
+        # (NullStore below), and reading the HDF5 the primary holds open
+        # for append is not safe without SWMR
+        if is_primary() and os.path.exists(out):
             with ArtifactStore(out, "r") as st:
                 if st.get_meta("done_iters") == marker:
                     return out
@@ -272,8 +276,11 @@ class Workspace:
             state = pr_init(pos_trn.shape[1], 1)
             key = jax.random.PRNGKey(cfg.seed)
 
-        with MetricLogger(jsonl_path=log_path) as log, \
-                ArtifactStore(out, "a") as st:
+        # multi-host write discipline: only process 0 appends/logs (the
+        # compute below is process-local, so skipping writes elsewhere
+        # cannot desynchronise anything)
+        with MetricLogger(jsonl_path=log_path if is_primary() else None) \
+                as log, writer_store(out, "a") as st:
             if resume is not None and resume_meta.get("w_rows") is not None:
                 # drop any w row appended after the snapshot was taken (a
                 # crash in the append->snapshot window would otherwise
@@ -471,7 +478,7 @@ class Workspace:
         marker = f"{cfg.n_iter}"
         resume = None
         resume_meta = {}
-        if os.path.exists(out):
+        if is_primary() and os.path.exists(out):  # see prlearn note
             with ArtifactStore(out, "r") as st:
                 if st.get_meta("done_iters") == marker:
                     return out
@@ -506,8 +513,8 @@ class Workspace:
             state = pj_init(pos_trn.shape[1], cfg.rank_cap)
             key = jax.random.PRNGKey(cfg.seed)
 
-        with MetricLogger(jsonl_path=log_path) as log, \
-                ArtifactStore(out, "a") as st:
+        with MetricLogger(jsonl_path=log_path if is_primary() else None) \
+                as log, writer_store(out, "a") as st:
             if resume is not None and st.exists("best_W"):
                 w_save = st.read("best_W")
                 a_save = st.read("best_A")

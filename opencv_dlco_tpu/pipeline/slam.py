@@ -70,13 +70,30 @@ class SlamConfig:
     # noise multiplicatively (the KITTI-frame-rate failure mode)
     auto_stride: bool = True
     target_parallax: float = 0.05
-    max_stride: int = 8
+    max_stride: int = 32
+    # the backbone is also the back end's node set: too-wide strides starve
+    # loop-closure retrieval/windowed BA of nodes, so the stride never
+    # shrinks the graph below this many nodes
+    min_backbone_nodes: int = 32
     # loop-closure detection
     loop_gap: int = 12                  # min frame separation
     loop_top_k: int = 2                 # retrieval candidates per keyframe
     loop_min_inliers: int = 24
+    loop_min_inlier_ratio: float = 0.35  # inliers / matches gate
+    loop_mutual: bool = True            # mutual top-k retrieval consistency
+    loop_cluster_frames: int = 0        # temporal dedup radius (0 = gap//2)
+    loop_scale_consistency: float = 1.6  # max endpoint scale-vote ratio
+    loop_vote_max_mad: float = 0.3      # max log-ratio MAD of a scale vote
+    loop_min_vote_points: int = 12      # min depth-ratio votes per endpoint
     loop_weight: float = 1.0            # pose-graph weight of loop edges
     use_sim3: bool = True               # Sim(3) graph when loops detected
+    # robust pose-graph kernel (only engaged when loop edges are present:
+    # an odometry-only chain has no redundancy for IRLS to exploit, and a
+    # delta calibrated there would be degenerate — all residuals ~0)
+    pg_robust: str = "dcs"              # "none" | "huber" | "dcs"
+    pg_robust_scale: float = 4.0        # delta^2 = scale * median loop chi2
+    pg_gnc_iters: int = 8               # graduated non-convexity anneal
+    pg_iters: int = 25                  # LM iterations of the final solve
     # windowed bundle adjustment
     ba_window: int = 6                  # frames per window (0 disables)
     ba_stride: int = 3
@@ -96,6 +113,7 @@ class PairEstimate:
     kp_next_idx: np.ndarray     # their matched keypoint indices in frame i+1
     points3d: np.ndarray        # landmarks in frame-i coordinates
     n_inliers: int
+    n_matches: int = 0          # ratio-test survivors fed to RANSAC
 
 
 @dataclass
@@ -202,7 +220,11 @@ def _match_pose_chunk(yx_a, d_a, v_a, yx_b, d_b, v_b, intr, keys, *,
 
     def match_one(d1, v1, d2, v2):
         d2m = jnp.where(v2[:, None], d2, -1e6)
-        dists, idx = knn_match(d1, d2m, k=2, block=k_pts)
+        # HIGHEST here on purpose: these are tiny (K x K) matrices where
+        # the GEMM cost is irrelevant, and pose quality is sensitive to
+        # match identity (bf16-grade distances measurably moved ATE)
+        dists, idx = knn_match(d1, d2m, k=2, block=k_pts,
+                               precision=jax.lax.Precision.HIGHEST)
         midx, ok = ratio_test(dists, idx, ratio=ratio)
         ok = ok & v1
         # compact valid matches to the front (stable: keeps kp order)
@@ -298,6 +320,7 @@ def batched_pair_poses(feats, pair_indices, intrinsics, cfg: SlamConfig,
                 kp_next_idx=tgt[p][g],
                 points3d=pts[p][g],
                 n_inliers=int(n_inl[p]),
+                n_matches=int(n_ok[p]),
             ))
             usable_flags.append(bool(usable[p]) and pose_ok)
     return ests, usable_flags
@@ -308,13 +331,29 @@ def _median_depth_ratio(depths: np.ndarray, kp_idx, points3d,
     """Median over common keypoints of (known depth / new landmark depth).
 
     ``depths`` is a dense (K,) array with NaN where no depth is known."""
+    scale, _, _ = _depth_ratio_stats(depths, kp_idx, points3d, min_points)
+    return scale
+
+
+def _depth_ratio_stats(depths: np.ndarray, kp_idx, points3d,
+                       min_points: int
+                       ) -> Tuple[Optional[float], int, float]:
+    """(median scale, vote count, log-ratio MAD) of the depth-ratio vote.
+
+    The MAD measures the vote's internal agreement: loop-closure scale
+    votes with wide spread are depth-association junk and the edges they
+    scale poison the pose graph (measured: votes with MAD > ~0.4 err by
+    2-3x against ground truth on the 192-frame bench scene)."""
     z = points3d[:, 2]
     with np.errstate(invalid="ignore", divide="ignore"):
         ratios = depths[kp_idx] / np.where(z > 1e-6, z, np.nan)
-    ratios = ratios[np.isfinite(ratios)]
+    ratios = ratios[np.isfinite(ratios) & (ratios > 0)]
     if ratios.size < min_points:
-        return None
-    return float(np.median(ratios))
+        return None, int(ratios.size), float("nan")
+    lr = np.log(ratios)
+    med = float(np.median(lr))
+    mad = float(np.median(np.abs(lr - med)))
+    return float(np.exp(med)), int(ratios.size), mad
 
 
 def _depth_map(kp_idx, depths_z, n_keypoints: int) -> np.ndarray:
@@ -410,21 +449,48 @@ def run_odometry(frames, intrinsics, model: VGGDescriptor,
     if cfg.auto_stride:
         meds = [float(np.median(est.points3d[:, 2]))
                 for est in pairs if est.points3d.shape[0] >= 8]
+        stride_cap = max(1, min(cfg.max_stride, (n_frames - 1) // 2,
+                                n_frames // max(cfg.min_backbone_nodes, 1)))
         if meds:
             med_depth = float(np.median(meds))
             stride = int(np.clip(np.ceil(med_depth * cfg.target_parallax),
-                                 1, cfg.max_stride))
-            stride = min(stride, max(1, (n_frames - 1) // 2))
+                                 1, stride_cap))
 
-    if stride > 1:
-        nodes = list(range(0, n_frames, stride))
+    def estimate_backbone(s, key):
+        nodes = list(range(0, n_frames, s))
         if nodes[-1] != n_frames - 1:
             nodes.append(n_frames - 1)
-        bb_idx = list(zip(nodes[:-1], nodes[1:]))
-        bb_pairs, bb_usable = batched_pair_poses(feats, bb_idx, intrinsics,
-                                                 cfg, k_bb)
-        if not all(bb_usable):
+        idx = list(zip(nodes[:-1], nodes[1:]))
+        bbp, ok = batched_pair_poses(feats, idx, intrinsics, cfg, key)
+        return idx, bbp, all(ok)
+
+    if stride > 1:
+        bb_idx, bb_pairs, bb_ok = estimate_backbone(stride, k_bb)
+        if not bb_ok:
             stride = 1  # weak overlap at this stride: consecutive fallback
+        else:
+            # self-correcting refinement: the consecutive-pair depths that
+            # chose the stride are themselves noise-biased at very low
+            # parallax (the reason the backbone exists), so re-measure
+            # parallax on the BACKBONE pairs — whose wide baselines give
+            # trustworthy depths — and widen the stride until the measured
+            # per-step parallax reaches the target (high-frame-rate / long
+            # sequences otherwise saturate the first estimate)
+            for _ in range(2):
+                meds_bb = [float(np.median(e.points3d[:, 2]))
+                           for e in bb_pairs if e.points3d.shape[0] >= 8]
+                if not meds_bb:
+                    break
+                want = int(np.ceil(stride * float(np.median(meds_bb))
+                                   * cfg.target_parallax))
+                want = min(want, stride_cap)
+                if want <= stride:
+                    break
+                key, k_bb = jax.random.split(k_bb)
+                idx2, bbp2, ok2 = estimate_backbone(want, key)
+                if not ok2:
+                    break  # keep the last stride that fully matched
+                stride, bb_idx, bb_pairs = want, idx2, bbp2
 
     if stride == 1:
         _chain_scales(pairs, n_kp, cfg.min_scale_points)
@@ -535,48 +601,95 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     """
     if key is None:
         key = jax.random.PRNGKey(1)
-    kfs = [int(k) for k in keyframes]
+    kfs = np.asarray([int(k) for k in keyframes], int)
+    n_kf = len(kfs)
     g = _global_descriptors([feats[k] for k in kfs])
     sims = g @ g.T
     n_kp = feats[0][1].shape[0]
 
-    # retrieval: collect ALL candidate pairs first, verify them in one
-    # batched program (the per-candidate verify loop was the other
-    # KITTI-scale host bottleneck)
-    cand: List[Tuple[int, int]] = []
-    seen = set()
-    for a_pos in range(len(kfs)):
-        fa = kfs[a_pos]
-        cands = [(float(sims[a_pos, b_pos]), b_pos)
-                 for b_pos in range(a_pos)
-                 if fa - kfs[b_pos] >= cfg.loop_gap]
-        cands.sort(reverse=True)
-        for _, b_pos in cands[:cfg.loop_top_k]:
-            fb = kfs[b_pos]
-            if (fb, fa) in seen or fb >= len(result.pairs):
-                continue
-            seen.add((fb, fa))
-            cand.append((fb, fa))
+    # retrieval, fully vectorised (the O(K^2) host loop was the KITTI-scale
+    # back-end bottleneck): allowed[a, b] = keyframe b is old enough to be a
+    # loop partner of a; candidates = per-row top-k over allowed partners,
+    # optionally intersected with the per-COLUMN top-k (mutual retrieval
+    # consistency — b must also rank a among its best future frames, which
+    # kills one-sided similarity hits on repetitive structure)
+    allowed = (kfs[:, None] - kfs[None, :]) >= cfg.loop_gap
+    allowed &= kfs[None, :] < len(result.pairs)  # need odometry depths at b
+    k_ret = min(cfg.loop_top_k, max(n_kf - 1, 1))
+    masked = np.where(allowed, sims, -np.inf)
+    in_top_back = np.zeros_like(allowed)
+    rows = np.argpartition(-masked, kth=k_ret - 1, axis=1)[:, :k_ret]
+    in_top_back[np.arange(n_kf)[:, None], rows] = True
+    in_top_back &= allowed
+    if cfg.loop_mutual:
+        in_top_fwd = np.zeros_like(allowed)
+        cols = np.argpartition(-masked, kth=k_ret - 1, axis=0)[:k_ret, :]
+        in_top_fwd[cols, np.arange(n_kf)[None, :]] = True
+        in_top_back &= in_top_fwd
+    a_pos, b_pos = np.nonzero(in_top_back)
+    cand = [(int(kfs[b]), int(kfs[a])) for a, b in zip(a_pos, b_pos)]
 
     ests, usable = batched_pair_poses(feats, cand, intrinsics, cfg, key)
-    edges = []
+    accepted = []
     for (fb, fa), est, u in zip(cand, ests, usable):
         if not u or est.n_inliers < cfg.loop_min_inliers:
+            continue
+        # inlier RATIO gate: a wide-baseline candidate can reach the
+        # absolute inlier count on sheer match volume while most matches
+        # are wrong — those are exactly the scale-poisoned edges
+        if est.n_inliers < cfg.loop_min_inlier_ratio * max(est.n_matches, 1):
             continue
         # scale: est.points3d live in frame-fb coords with unit-baseline
         # scale; compare with the odometry landmark depths of pair
         # (fb, fb+1), which are scale-propagated and also frame-fb.
         odo = result.pairs[fb]
         depths = _depth_map(odo.kp_prev_idx, odo.points3d[:, 2], n_kp)
-        scale = _median_depth_ratio(depths, est.kp_prev_idx,
-                                    est.points3d, cfg.min_scale_points)
-        if scale is None:
+        scale, n_votes, mad = _depth_ratio_stats(
+            depths, est.kp_prev_idx, est.points3d,
+            max(cfg.min_scale_points, cfg.loop_min_vote_points))
+        if scale is None or (cfg.loop_vote_max_mad > 0
+                             and mad > cfg.loop_vote_max_mad):
             continue
+        # second, independent vote at the OTHER endpoint: the same loop
+        # landmarks expressed in frame fa vs the odometry depths of pair
+        # (fa, fa+1). A mis-voted scale (wrong depth associations, thin
+        # overlap) rarely mis-votes the same way twice — requiring the two
+        # endpoint votes to agree gates out most scale-poisoned edges, and
+        # their geometric mean halves the noise of either vote alone.
+        if cfg.loop_scale_consistency > 0 and fa < len(result.pairs):
+            pts_fa = est.points3d @ est.rotation.T + est.translation
+            odo_a = result.pairs[fa]
+            depths_a = _depth_map(odo_a.kp_prev_idx, odo_a.points3d[:, 2],
+                                  n_kp)
+            scale_a, _, mad_a = _depth_ratio_stats(
+                depths_a, est.kp_next_idx, pts_fa,
+                max(cfg.min_scale_points, cfg.loop_min_vote_points))
+            if scale_a is None or (cfg.loop_vote_max_mad > 0
+                                   and mad_a > cfg.loop_vote_max_mad):
+                continue
+            if (max(scale_a, scale) / min(scale_a, scale)
+                    > cfg.loop_scale_consistency):
+                continue
+            scale = float(np.sqrt(scale_a * scale))
         # est maps frame-fb -> frame-fa; the edge measurement is
         # i_T_j = inv([R | s*t]) with i=fb, j=fa.
         r_inv = est.rotation.T
         t_inv = -r_inv @ (est.translation * scale)
-        edges.append((fb, fa, r_inv, t_inv))
+        accepted.append((est.n_inliers, fb, fa, r_inv, t_inv))
+
+    # temporal-cluster dedup: consecutive keyframes revisiting the same
+    # place produce a blanket of near-duplicate edges (229 on the 192-frame
+    # bench); each carries independent scale-voting noise, and their sheer
+    # count out-votes the odometry in the graph. Keep the strongest edge
+    # per (i, j) neighbourhood.
+    radius = cfg.loop_cluster_frames or max(1, cfg.loop_gap // 2)
+    accepted.sort(key=lambda e: -e[0])
+    edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+    for n_inl, fb, fa, r_e, t_e in accepted:
+        if any(abs(fb - i) <= radius and abs(fa - j) <= radius
+               for i, j, _, _ in edges):
+            continue
+        edges.append((fb, fa, r_e, t_e))
     return edges
 
 
@@ -599,6 +712,28 @@ def build_tracks(pairs: Sequence[PairEstimate]) -> List[List[Tuple[int, int]]]:
             new_active[int(kp_j)] = tr
         active = new_active
     return tracks
+
+
+def _tracks_to_arrays(tracks: List[List[Tuple[int, int]]]):
+    """Ragged track list -> (starts, lens, offs, kps) numpy arrays.
+
+    build_tracks produces frame-CONTIGUOUS tracks (an observation at frame
+    f is only ever extended at f+1), so a track is fully described by its
+    start frame + its keypoint sequence — window clipping then becomes
+    interval intersection instead of a per-(window, track) Python scan."""
+    starts = np.asarray([tr[0][0] for tr in tracks], np.int64)
+    lens = np.asarray([len(tr) for tr in tracks], np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    kps = np.asarray([kp for tr in tracks for _, kp in tr], np.int64)
+    return starts, lens, offs, kps
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[3, 2] -> [0, 1, 2, 0, 1] (the standard cumsum trick)."""
+    total = int(counts.sum())
+    out = np.arange(total)
+    resets = np.repeat(np.concatenate([[0], np.cumsum(counts[:-1])]), counts)
+    return out - resets
 
 
 def _extrinsics(result: SlamResult, frame: int):
@@ -649,6 +784,7 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
     if cfg.ba_window < 3 or n_frames < 3:
         return {}
     tracks = build_tracks(result.pairs)
+    tr_start, tr_len, tr_off, tr_kps = _tracks_to_arrays(tracks)
     edges: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     pending: List[dict] = []
 
@@ -658,16 +794,18 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
         if b - a < 3:
             continue
         m = b - a
-        # tracks clipped to the window, longest first
-        win_tracks = []
-        for tr in tracks:
-            clip = [(f, kp) for f, kp in tr if a <= f < b]
-            if len(clip) >= 2:
-                win_tracks.append(clip)
-        win_tracks.sort(key=len, reverse=True)
-        win_tracks = win_tracks[:cfg.ba_max_tracks]
-        if len(win_tracks) < 8:
+        # tracks clipped to [a, b): interval intersection on the contiguous
+        # frame ranges (vectorised — the per-(window, track) Python double
+        # loop was the KITTI-length back-end bottleneck), longest first
+        c_lo = np.maximum(tr_start, a)
+        c_hi = np.minimum(tr_start + tr_len, b)
+        c_len = c_hi - c_lo
+        sel = np.nonzero(c_len >= 2)[0]
+        sel = sel[np.argsort(-c_len[sel], kind="stable")][:cfg.ba_max_tracks]
+        if sel.size < 8:
             continue
+        cl = c_len[sel]
+        base = tr_off[sel] + (c_lo[sel] - tr_start[sel])
 
         r_cam = np.stack([_extrinsics(result, f)[0] for f in range(a, b)])
         t_cam = np.stack([_extrinsics(result, f)[1] for f in range(a, b)])
@@ -681,13 +819,13 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
         # seed triangulation of every track from its first/last
         # observation, batched into ONE padded device program per window
         # (per-track dispatches were the remaining host bottleneck here)
-        f0s = np.asarray([tr[0][0] - a for tr in win_tracks])
-        kp0s = np.asarray([tr[0][1] for tr in win_tracks])
-        f1s = np.asarray([tr[-1][0] - a for tr in win_tracks])
-        kp1s = np.asarray([tr[-1][1] for tr in win_tracks])
+        f0s = c_lo[sel] - a
+        kp0s = tr_kps[base]
+        f1s = c_hi[sel] - 1 - a
+        kp1s = tr_kps[base + cl - 1]
         r_rel = r_cam[f1s] @ r_cam[f0s].transpose(0, 2, 1)
         t_rel = t_cam[f1s] - np.einsum("nij,nj->ni", r_rel, t_cam[f0s])
-        n_tr = len(win_tracks)
+        n_tr = sel.size
         t_pad = -(-n_tr // 64) * 64
         p_rel = np.asarray(_triangulate_many(
             jnp.asarray(_pad_to(r_rel.astype(np.float32), t_pad)
@@ -698,16 +836,15 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
             jnp.asarray(_pad_to(obs_uv_arr(f1s, kp1s), t_pad))))[:n_tr]
         # frame-f0 coords -> world
         rot_w = result.rotations[f0s + a]
-        points0 = list(np.einsum("nij,nj->ni", rot_w, p_rel)
-                       + result.translations[f0s + a])
+        points0 = (np.einsum("nij,nj->ni", rot_w, p_rel)
+                   + result.translations[f0s + a])
 
-        cam_idx, pt_idx = [], []
-        for n_id, tr in enumerate(win_tracks):
-            for f, kp in tr:
-                cam_idx.append(f - a)
-                pt_idx.append(n_id)
-        obs_kp = np.asarray([kp for tr in win_tracks for _, kp in tr])
-        uvs = list(obs_uv_arr(np.asarray(cam_idx), obs_kp))
+        # flat observation table, ragged-range expansion over the clips
+        rag = _ragged_arange(cl)
+        cam_idx = np.repeat(f0s, cl) + rag                 # window-local
+        pt_idx = np.repeat(np.arange(n_tr), cl)
+        obs_kp = tr_kps[np.repeat(base, cl) + rag]
+        uvs = obs_uv_arr(cam_idx, obs_kp)
 
         n_lm = len(points0)
         k_obs = len(uvs)
@@ -805,12 +942,33 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
     return edges
 
 
+def _loop_edge_chi2(result: SlamResult, loop_edges, loop_weight: float
+                    ) -> np.ndarray:
+    """Initial per-loop-edge chi² against the current trajectory (host
+    numpy; small-angle se3_log approximation — this only calibrates the
+    robust kernel width, it is not the solver's residual)."""
+    chi2 = []
+    for (i, j, r_ij, t_ij) in loop_edges:
+        ri, ti = result.rotations[i], result.translations[i]
+        rj, tj = result.rotations[j], result.translations[j]
+        r_rel = ri.T @ rj
+        t_rel = ri.T @ (tj - ti)
+        err_r = np.asarray(r_ij).T @ r_rel
+        err_t = np.asarray(r_ij).T @ (t_rel - np.asarray(t_ij))
+        ang = np.arccos(np.clip((np.trace(err_r) - 1.0) * 0.5, -1.0, 1.0))
+        chi2.append(loop_weight * (float(err_t @ err_t) + float(ang) ** 2))
+    return np.asarray(chi2)
+
+
 def refine_with_pose_graph(result: SlamResult,
                            loop_edges: Optional[List[Tuple[int, int, np.ndarray, np.ndarray]]] = None,
                            odometry_overrides: Optional[Dict[int, Tuple[np.ndarray, np.ndarray]]] = None,
                            loop_weight: float = 1.0,
                            n_iters: int = 15,
                            sim3: bool = False,
+                           robust: str = "none",
+                           robust_scale: float = 4.0,
+                           gnc_iters: int = 8,
                            mesh=None) -> SlamResult:
     """Pose-graph polish: odometry edges from the chained pairs (optionally
     overridden by windowed-BA refinements) plus (i, j, R_ij, t_ij) loop
@@ -818,7 +976,13 @@ def refine_with_pose_graph(result: SlamResult,
     absorb monocular scale drift, which SE(3) edges structurally cannot
     (use whenever loop closures are present). With ``mesh``, edges shard
     over the dp axis and the normal system psum-reduces (one collective
-    per LM iteration — the distributed back end of BASELINE config 5)."""
+    per LM iteration — the distributed back end of BASELINE config 5).
+
+    ``robust``: edge-level robust kernel ("huber"/"dcs") engaged only when
+    loop edges are present. Its width is calibrated on the LOOP edges'
+    initial chi² (median × ``robust_scale``): odometry residuals are ~0 at
+    the chained init, so a whole-graph median would crush every loop edge
+    to zero weight and the graph would ignore its own closures."""
     ei, ej, rz, tz, wts = [], [], [], [], []
     overrides = odometry_overrides or {}
     for k, est in enumerate(result.pairs):
@@ -840,6 +1004,13 @@ def refine_with_pose_graph(result: SlamResult,
         rz.append(np.asarray(r_ij))
         tz.append(np.asarray(t_ij))
         wts.append(loop_weight)
+    robust_kwargs = {}
+    if robust != "none" and loop_edges:
+        chi2 = _loop_edge_chi2(result, loop_edges, loop_weight)
+        delta2 = max(robust_scale * float(np.median(chi2)), 1e-8)
+        robust_kwargs = dict(robust=robust,
+                             robust_delta=float(np.sqrt(delta2)),
+                             gnc_iters=min(gnc_iters, max(n_iters - 4, 0)))
     if mesh is not None:
         base = (optimize_pose_graph_sim3_sharded if sim3
                 else optimize_pose_graph_sharded)
@@ -853,7 +1024,7 @@ def refine_with_pose_graph(result: SlamResult,
         jnp.asarray(np.stack(rz).astype(np.float32)),
         jnp.asarray(np.stack(tz).astype(np.float32)),
         jnp.asarray(np.asarray(wts, np.float32)),
-        n_iters=n_iters)
+        n_iters=n_iters, **robust_kwargs)
     return SlamResult(rotations=np.asarray(out.r),
                       translations=np.asarray(out.t), pairs=result.pairs,
                       keyframes=result.keyframes,
@@ -892,8 +1063,10 @@ def run_back_end(odo: SlamResult, feats, intrinsics, cfg: SlamConfig,
         node_traj.loop_edges = loops_n
         refined_n = refine_with_pose_graph(
             node_traj, loop_edges=loops_n, odometry_overrides=overrides,
-            loop_weight=cfg.loop_weight,
-            sim3=cfg.use_sim3 and len(loops_n) > 0, mesh=mesh)
+            loop_weight=cfg.loop_weight, n_iters=cfg.pg_iters,
+            sim3=cfg.use_sim3 and len(loops_n) > 0,
+            robust=cfg.pg_robust, robust_scale=cfg.pg_robust_scale,
+            gnc_iters=cfg.pg_gnc_iters, mesh=mesh)
         rs_all, ts_all = _hang_intermediates(
             refined_n.rotations, refined_n.translations, nodes, odo.pairs)
         return SlamResult(
@@ -911,7 +1084,11 @@ def run_back_end(odo: SlamResult, feats, intrinsics, cfg: SlamConfig,
     return refine_with_pose_graph(odo, loop_edges=loops,
                                   odometry_overrides=overrides,
                                   loop_weight=cfg.loop_weight,
+                                  n_iters=cfg.pg_iters,
                                   sim3=cfg.use_sim3 and len(loops) > 0,
+                                  robust=cfg.pg_robust,
+                                  robust_scale=cfg.pg_robust_scale,
+                                  gnc_iters=cfg.pg_gnc_iters,
                                   mesh=mesh)
 
 

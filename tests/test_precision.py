@@ -54,7 +54,10 @@ def test_bf16_fpr95_delta_gate():
     backend. (On CPU, DEFAULT precision is already f32, so the delta is ~0;
     the hardware delta is the benchmark's job.)
     """
-    from opencv_dlco_tpu.data.synthetic import synth_patch_pairs
+    from opencv_dlco_tpu.data.synthetic import (
+        HARD_PAIR_PARAMS,
+        synth_patch_pairs,
+    )
     from opencv_dlco_tpu.ops.roc import roc_stats
 
     rng = np.random.default_rng(21)  # pinned: suite-order independent
@@ -62,7 +65,9 @@ def test_bf16_fpr95_delta_gate():
                                                        nsigma=4))
     f = jnp.asarray(filters)
     n_rings = filters.shape[0] // 8
-    p1, p2, labels = synth_patch_pairs(rng, n_pairs=768)
+    # HARD pairs (VERDICT r2 next #2): the easy distribution saturates at
+    # FPR95 = 0 on both sides, making the delta gate vacuous
+    p1, p2, labels = synth_patch_pairs(rng, n_pairs=768, **HARD_PAIR_PARAMS)
     w = np.ones(n_rings, np.float32)
 
     out = {}
@@ -73,10 +78,11 @@ def test_bf16_fpr95_delta_gate():
         rd = np.asarray(ring_distances(f, pt1, pt2, precision=prec))
         fpr95, auc = roc_stats(jnp.asarray(rd @ w), jnp.asarray(labels))
         out[label] = (float(fpr95) * 100.0, float(auc))
-    # the synthetic task must actually be discriminative, else the gate
-    # is vacuous
-    assert out["f32"][1] > 0.9, f"AUC {out['f32'][1]:.3f}: task too easy/hard"
-    assert out["f32"][0] < 50.0
+    # the task must be discriminative AND unsaturated: a gate at
+    # FPR95 = 0.0 cannot fail and proves nothing about precision
+    assert out["f32"][1] > 0.85, f"AUC {out['f32'][1]:.3f}: task too hard"
+    assert 1.0 < out["f32"][0] < 60.0, \
+        f"f32 FPR95 {out['f32'][0]:.2f}%: saturated or degenerate gate"
     d_fpr95 = abs(out["bf16"][0] - out["f32"][0])
     d_auc = abs(out["bf16"][1] - out["f32"][1])
     assert d_fpr95 < 2.0, f"bf16 shifts FPR95 by {d_fpr95:.2f}pp"

@@ -113,16 +113,74 @@ def bench_pr_rda(n_feat=5120, n_rows=100_000, batch=4096, steps=64,
     return out
 
 
+def bench_pr_sweep_brown(n_feat=5120, n_rows=200_000, batch=2048, steps=32,
+                         n_sweep=256):
+    """The 256-combo sweep at BROWN residency (VERDICT r2 next #5): 200k-row
+    train splits per side — the split sizes of the real 500k-pair dataset at
+    train_frac=0.8 — on the tuned bf16-resident path (4.1 GiB total; the f32
+    arms would not leave room for both residencies side by side). Measures
+    whether the 50k-row headline survives the residency the 23k x claim
+    implies (round 2 saw the single-run chunk rate HALVE at this scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pr_rda import pr_init, pr_train_chunk
+
+    key = jax.random.PRNGKey(0)
+    kp, kn = jax.random.split(key)
+    gen = jax.jit(lambda k, m: jnp.abs(
+        m + 0.5 * jax.random.normal(k, (n_rows, n_feat), jnp.float32)
+    ).astype(jnp.bfloat16))
+    pos = gen(kp, 1.0)
+    neg = gen(kn, 1.2)
+    _fetch(neg)
+    mus = jnp.linspace(0.001, 0.06, n_sweep).astype(jnp.float32)
+    gammas = jnp.linspace(0.005, 0.25, n_sweep).astype(jnp.float32)
+    state = pr_init(n_feat, n_sweep)
+    flops_per_call = 4.0 * batch * n_feat * n_sweep * steps
+    out = dict(n_rows=n_rows, n_sweep=n_sweep, batch=batch, steps=steps,
+               resident_gib=2 * n_rows * n_feat * 2 / 1024**3)
+    for label, samp, prec in (
+            ("tuned", "block", jax.lax.Precision.DEFAULT),
+            ("fused_wide_bf16", "block_fused", None)):
+        if samp == "block_fused" and jax.default_backend() != "tpu":
+            continue
+        kw = {} if prec is None else {"precision": prec}
+        dt = _timeit(lambda samp=samp, kw=kw: pr_train_chunk(
+            pos, neg, mus, gammas, state, key, batch=batch,
+            n_steps=steps, sampling=samp, **kw))
+        eff = batch * steps * n_sweep / dt
+        out.update({
+            f"{label}_samples_per_sec": eff,
+            f"{label}_step_time": dt,
+            f"{label}_vs_baseline": eff / BASELINE_PR_SAMPLES_PER_SEC,
+            f"{label}_mfu": flops_per_call / dt / PEAK_BF16_FLOPS,
+        })
+    return out
+
+
 def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=2048, steps=32,
                    n_sweep=256, sampling="block"):
     """The whole 256-combo grid as one program — samples/s counts every
     sweep entry (the reference runs these as 256 sequential processes).
 
-    Two configs: reference-numerics (f32 splits, HIGHEST matmuls) and
-    tuned throughput (bf16-resident splits + DEFAULT-precision matmuls —
-    both quality-gated: tests/test_sweep.py precision study,
-    tests/test_fused_rda.py bf16-residency study, and the measured
-    end-metric dFPR95 = 0 of bench_precision_fpr95)."""
+    Configs measured (VERDICT r2 next #5 asks for MFU honesty):
+      * reference-numerics — f32 splits, HIGHEST matmuls, XLA block step;
+      * tuned — bf16-resident splits + DEFAULT-precision matmuls;
+      * fused_wide — the whole grid through the wide-S fused Pallas
+        kernel (ops/fused_rda.fused_block_train_wide): w + df VMEM-
+        resident, each sampled block read from HBM exactly once (2BF vs
+        the XLA step's 5BF), f32 and bf16-resident variants.
+    All tuned paths are quality-gated: tests/test_sweep.py precision
+    study, tests/test_fused_rda.py bf16-residency + wide-kernel parity,
+    and bench_precision_fpr95's end-metric delta on the hard pairs.
+
+    MFU accounting: the step's useful flops are the two (B,F)x(F,S)
+    matmuls = 4*B*F*S per step, denominated in bf16 peak. The step is
+    bandwidth-bound by design at S=256 (arithmetic intensity
+    2S flop/byte at f32), so the roofline cap is
+    min(1, 2S * BW / (dtype_bytes * PEAK)); the fused kernel's target is
+    that cap, not 100% MFU."""
     import jax
     import jax.numpy as jnp
 
@@ -137,12 +195,18 @@ def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=2048, steps=32,
     mus = jnp.linspace(0.001, 0.06, n_sweep).astype(jnp.float32)
     gammas = jnp.linspace(0.005, 0.25, n_sweep).astype(jnp.float32)
     state = pr_init(n_feat, n_sweep)
+    flops_per_call = 4.0 * batch * n_feat * n_sweep * steps
+
+    def mfu(dt):
+        return flops_per_call / dt / PEAK_BF16_FLOPS
+
     dt = _timeit(lambda: pr_train_chunk(pos, neg, mus, gammas, state, key,
                                         batch=batch, n_steps=steps,
                                         sampling=sampling))
     eff_samples = batch * steps * n_sweep / dt
     out = dict(effective_samples_per_sec=eff_samples, step_time=dt,
-               n_sweep=n_sweep, batch=batch, steps=steps,
+               n_sweep=n_sweep, batch=batch, steps=steps, n_rows=n_rows,
+               mfu=mfu(dt),
                vs_baseline=eff_samples / BASELINE_PR_SAMPLES_PER_SEC)
     if jax.default_backend() == "tpu":
         pos16 = pos.astype(jnp.bfloat16)
@@ -155,7 +219,21 @@ def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=2048, steps=32,
         out.update(
             tuned_samples_per_sec=eff_t, tuned_step_time=dt_t,
             tuned_vs_baseline=eff_t / BASELINE_PR_SAMPLES_PER_SEC,
+            tuned_mfu=mfu(dt_t),
             tuned_config="bf16-resident splits + DEFAULT-precision matmuls")
+        # wide-S fused kernel: the whole grid VMEM-resident
+        for label, (p, n) in (("fused_wide", (pos, neg)),
+                              ("fused_wide_bf16", (pos16, neg16))):
+            dt_f = _timeit(lambda p=p, n=n: pr_train_chunk(
+                p, n, mus, gammas, state, key, batch=batch,
+                n_steps=steps, sampling="block_fused"))
+            eff_f = batch * steps * n_sweep / dt_f
+            out.update({
+                f"{label}_samples_per_sec": eff_f,
+                f"{label}_step_time": dt_f,
+                f"{label}_vs_baseline": eff_f / BASELINE_PR_SAMPLES_PER_SEC,
+                f"{label}_mfu": mfu(dt_f),
+            })
     return out
 
 
@@ -418,6 +496,7 @@ def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
     neg = 1.0 * jax.random.normal(kn, (n_rows, n_feat), jnp.float32)
     out = {}
     for label, mode, cap in (("exact", "exact", None),
+                             ("psd_ns", "psd_ns", None),
                              ("subspace", "subspace", None),
                              ("rank_cap192", "subspace", 192),
                              ("rank_cap128", "subspace", 128)):
@@ -561,6 +640,8 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["pr_validate"] = bench_pr_validate()
     if suite in ("all", "headline", "sweep"):
         details["pr_sweep"] = bench_pr_sweep()
+    if suite in ("all", "sweep", "brown"):
+        details["pr_sweep_brown"] = bench_pr_sweep_brown()
     if suite in ("all", "hinge"):
         details["hinge"] = bench_hinge_kernels()
     if suite in ("all", "stage3"):

@@ -87,6 +87,36 @@ def _eigh_exact(a, basis):
     return vals, vecs
 
 
+def _psd_newton_schulz(a, n_iters: int):
+    """PSD-cone projection by the matrix sign function — zero eigh calls.
+
+    For symmetric A, the projection onto the PSD cone is
+    A+ = (A + |A|)/2 with |A| = sign(A)·A. sign(A) is computed by the
+    cubic Newton–Schulz iteration Y <- 1.5 Y - 0.5 Y^3 from Y0 = A/||A||_F
+    (spectral radius <= 1 by construction) — 2 F x F matmuls per
+    iteration, all MXU work, no sequential factorisation. Convergence is
+    cubic near |lambda| = 1 and ~1.5x/iter for small |lambda|/||A||, so
+    n_iters=24 resolves eigenvalues down to ~1e-4 of the Frobenius norm;
+    unresolved near-zero eigenvalues land at lambda/2 instead of
+    {0, lambda} — an absolute error bounded by |lambda|/2, i.e. only where
+    the clamp is numerically irrelevant. The hinge-violator masks that
+    consume the projected distances are threshold decisions with O(1)
+    margins, so this error class is the same one the bf16 matmul gates
+    already bound (quality-gated in tests/test_pj_rda.py).
+    """
+    c = jnp.linalg.norm(a, ord="fro") + 1e-30
+    y = a / c
+
+    def body(y, _):
+        y2 = jnp.matmul(y, y, precision=_HIGHEST)
+        y = 1.5 * y - 0.5 * jnp.matmul(y2, y, precision=_HIGHEST)
+        return y, None
+
+    y, _ = jax.lax.scan(body, y, None, length=n_iters)
+    a_psd = 0.5 * (a + jnp.matmul(y, a, precision=_HIGHEST))
+    return 0.5 * (a_psd + a_psd.T)
+
+
 def _eigh_subspace(a, basis, n_steps: int):
     """Warm-started orthogonal iteration: track eigh(a) from a nearby basis.
 
@@ -116,15 +146,27 @@ def _eigh_subspace(a, basis, n_steps: int):
     return vals, vecs
 
 
-def _pj_step(pos_trn, neg_trn, mu, gamma, batch, eigh_fn, state, key):
+def _metric_sq_norms(a, batch):
+    """x^T A x for each row x of batch — identical to ||W x||^2 when
+    A = W^T W, without needing the factor (the psd_ns path keeps only A)."""
+    p = jnp.matmul(batch, a, precision=_HIGHEST)
+    return jnp.sum(p * batch, axis=1)
+
+
+def _pj_step(pos_trn, neg_trn, mu, gamma, batch, eigh_fn, state, key,
+             psd_ns_iters: int | None = None):
     kp, kn = jax.random.split(key)
     ip = jax.random.randint(kp, (batch,), 0, pos_trn.shape[0])
     ineg = jax.random.randint(kn, (batch,), 0, neg_trn.shape[0])
     dp = pos_trn[ip]                                      # (B, F)
     dn = neg_trn[ineg]
 
-    pos_dist = _proj_sq_norms(state.w, dp)                # (B,)
-    neg_dist = _proj_sq_norms(state.w, dn)
+    if psd_ns_iters is not None:
+        pos_dist = _metric_sq_norms(state.a, dp)          # (B,)
+        neg_dist = _metric_sq_norms(state.a, dn)
+    else:
+        pos_dist = _proj_sq_norms(state.w, dp)            # (B,)
+        neg_dist = _proj_sq_norms(state.w, dn)
     viol = (pos_dist[:, None] + 1.0 > neg_dist[None, :]).astype(jnp.float32)
     n_viol = jnp.sum(viol, axis=1)                        # per positive
     cnt = jnp.sum(viol, axis=0)                           # per negative
@@ -144,6 +186,14 @@ def _pj_step(pos_trn, neg_trn, mu, gamma, batch, eigh_fn, state, key):
     )
     a = 0.5 * (a + a.T)
 
+    if psd_ns_iters is not None:
+        # factor-free PSD projection: w/basis ride stale through the scan
+        # (the hot loop only needs A; pj_train_chunk re-factorises once at
+        # the chunk boundary for the W/rank contract)
+        a_psd = _psd_newton_schulz(a, psd_ns_iters)
+        return PJState(w=state.w, a=a_psd, df_avg=df_avg,
+                       basis=state.basis, t=state.t + 1)
+
     vals, vecs = eigh_fn(a, state.basis)
     lam = jnp.maximum(vals, 0.0)
     a_psd = jnp.matmul(vecs * lam[None, :], vecs.T, precision=_HIGHEST)
@@ -155,12 +205,26 @@ def _pj_step(pos_trn, neg_trn, mu, gamma, batch, eigh_fn, state, key):
 
 @functools.partial(jax.jit,
                    static_argnames=("batch", "n_steps", "eigh_mode",
-                                    "subspace_steps"))
+                                    "subspace_steps", "ns_iters"))
 def pj_train_chunk(pos_trn, neg_trn, mu, gamma, state: PJState, key,
                    *, batch: int, n_steps: int, eigh_mode: str = "exact",
-                   subspace_steps: int = 4) -> PJState:
-    """Run n_steps PJ RDA iterations."""
-    if eigh_mode == "exact":
+                   subspace_steps: int = 4, ns_iters: int = 24) -> PJState:
+    """Run n_steps PJ RDA iterations.
+
+    eigh_mode:
+      * "exact"    — jnp.linalg.eigh every step (reference semantics,
+                     src/pj-learn.cpp:440-446 runs ssyevr every iteration);
+      * "subspace" — warm-started orthogonal iteration (+ rank_cap);
+      * "psd_ns"   — Newton–Schulz PSD projection inside the scan (pure
+                     MXU matmuls, no factorisation in the hot loop); ONE
+                     exact eigh at the chunk boundary rebuilds W/basis/A
+                     from df_avg with reference-exact semantics, so the
+                     state any consumer sees (validation, checkpointing,
+                     export) is a true eigendecomposition — only the
+                     violator masks along the trajectory feel the NS
+                     approximation (quality-gated in tests/test_pj_rda.py).
+    """
+    if eigh_mode in ("exact", "psd_ns"):
         if state.basis.shape[1] != state.basis.shape[0]:
             raise ValueError(
                 "rank_cap (truncated basis) requires eigh_mode='subspace'")
@@ -172,11 +236,27 @@ def pj_train_chunk(pos_trn, neg_trn, mu, gamma, state: PJState, key,
     mu = jnp.float32(mu)
     gamma = jnp.float32(gamma)
     keys = jax.random.split(key, n_steps)
+    psd = ns_iters if eigh_mode == "psd_ns" else None
 
     def body(st, k):
-        return _pj_step(pos_trn, neg_trn, mu, gamma, batch, eigh_fn, st, k), None
+        return _pj_step(pos_trn, neg_trn, mu, gamma, batch, eigh_fn, st, k,
+                        psd_ns_iters=psd), None
 
     state, _ = jax.lax.scan(body, state, keys)
+    if eigh_mode == "psd_ns":
+        # chunk-boundary factorisation: rebuild the exact iterate from
+        # df_avg — the last step used tf = t-1, i.e. sqrt(tf+1) = sqrt(t)
+        f = pos_trn.shape[1]
+        tf = state.t.astype(jnp.float32)
+        a_pre = -(jnp.sqrt(tf) / gamma) * (
+            state.df_avg + mu * jnp.eye(f, dtype=jnp.float32))
+        a_pre = 0.5 * (a_pre + a_pre.T)
+        vals, vecs = jnp.linalg.eigh(a_pre)
+        lam = jnp.maximum(vals, 0.0)
+        a_psd = jnp.matmul(vecs * lam[None, :], vecs.T, precision=_HIGHEST)
+        w = jnp.sqrt(lam)[:, None] * vecs.T
+        state = PJState(w=w, a=a_psd, df_avg=state.df_avg, basis=vecs,
+                        t=state.t)
     return state
 
 
@@ -190,11 +270,12 @@ def pj_init_batch(n_feat: int, n_sweep: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("batch", "n_steps", "eigh_mode",
-                                    "subspace_steps"))
+                                    "subspace_steps", "ns_iters"))
 def pj_train_chunk_batch(pos_trn, neg_trn, mus, gammas, states: PJState,
                          keys, *, batch: int, n_steps: int,
                          eigh_mode: str = "exact",
-                         subspace_steps: int = 4) -> PJState:
+                         subspace_steps: int = 4,
+                         ns_iters: int = 24) -> PJState:
     """Vmapped sweep step: S solver states share the dataset; the S
     eigendecompositions batch into one (S, F, F) eigh call — far better MXU
     utilisation than S sequential 544x544 factorisations (the reference
@@ -204,7 +285,8 @@ def pj_train_chunk_batch(pos_trn, neg_trn, mus, gammas, states: PJState,
         return pj_train_chunk(pos_trn, neg_trn, mu, gamma, st, k,
                               batch=batch, n_steps=n_steps,
                               eigh_mode=eigh_mode,
-                              subspace_steps=subspace_steps)
+                              subspace_steps=subspace_steps,
+                              ns_iters=ns_iters)
 
     return jax.vmap(one, in_axes=(0, 0, 0, 0))(mus, gammas, states, keys)
 
@@ -254,6 +336,7 @@ def pj_train(pos_trn, neg_trn, pos_val, neg_val, cfg, *,
             pos_trn, neg_trn, cfg.mu, cfg.gamma, state, sub,
             batch=cfg.batch, n_steps=cfg.log_step,
             eigh_mode=cfg.eigh_mode, subspace_steps=cfg.subspace_steps,
+            ns_iters=getattr(cfg, "ns_iters", 24),
         )
         loss_val, regul, obj, rank = pj_validate(pos_val, neg_val, mu, state)
         obj0 = float(obj)

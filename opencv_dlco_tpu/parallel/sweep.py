@@ -331,7 +331,8 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                                           states, keys, batch=base.batch,
                                           n_steps=base.log_step,
                                           eigh_mode=base.eigh_mode,
-                                          subspace_steps=base.subspace_steps)
+                                          subspace_steps=base.subspace_steps,
+                                          ns_iters=base.ns_iters)
             loss, regul, obj, rank = validate_b(pos_val, neg_val, mus, states)
             _check_finite(obj, f"pj_sweep[{run_label}]", int(states.t[0]))
             best_obj, best_w, best_a = track(obj, best_obj, states.w,

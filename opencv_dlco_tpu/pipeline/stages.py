@@ -525,7 +525,8 @@ class Workspace:
                                        state, sub, batch=cfg.batch,
                                        n_steps=cfg.log_step,
                                        eigh_mode=cfg.eigh_mode,
-                                       subspace_steps=cfg.subspace_steps)
+                                       subspace_steps=cfg.subspace_steps,
+                                       ns_iters=cfg.ns_iters)
                 jax.block_until_ready(state.w)
                 t_train = time.perf_counter() - t_train0
                 t_val0 = time.perf_counter()

@@ -114,10 +114,16 @@ class PJLearnConfig:
     batch: int = 200
     train_frac: float = 0.80
     seed: int = 2215
-    # "exact" -> full eigh every step (reference semantics);
-    # "subspace" -> warm-started orthogonal iteration (TPU-fast, approximate).
+    # "exact"    -> full eigh every step (reference semantics);
+    # "subspace" -> warm-started orthogonal iteration (TPU-fast, approximate);
+    # "psd_ns"   -> Newton-Schulz PSD projection in the hot loop (pure MXU
+    #               matmuls, zero in-loop factorisations) with one exact
+    #               eigh per log period rebuilding W from df_avg — the
+    #               fast path that keeps full-rank reference semantics at
+    #               every observable point (models/pj_rda.py).
     eigh_mode: str = "exact"
     subspace_steps: int = 4
+    ns_iters: int = 24
     # With eigh_mode="subspace": track only the top-K eigenpairs (F x K
     # basis, W becomes K x F). The trace-norm regulariser keeps the true
     # rank far below F (shipped reference models: 49-168 rows), so a cap

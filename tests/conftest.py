@@ -17,7 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # The session environment pins JAX_PLATFORMS=axon (the real-TPU tunnel) and a
 # sitecustomize registers the axon backend at interpreter start, so the env
 # var alone is not enough: override through jax.config after import.
+# DLCO_TEST_PLATFORM=tpu keeps the session's own platform string (the tunnel
+# registers as "axon" but reports default_backend() == "tpu").
 _platform = os.environ.get("DLCO_TEST_PLATFORM", "cpu")
+if _platform == "tpu":
+    _platform = os.environ.get("JAX_PLATFORMS", "tpu") or "tpu"
 os.environ["JAX_PLATFORMS"] = _platform
 
 import jax  # noqa: E402

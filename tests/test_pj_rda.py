@@ -74,6 +74,89 @@ def test_subspace_mode_tracks_exact(rng):
     assert rel < 0.15, f"subspace drifted {rel:.3f} from exact"
 
 
+def test_psd_ns_tracks_exact(rng):
+    """Newton-Schulz PSD-projection mode vs exact eigh (VERDICT r2 next #6).
+
+    Same key -> same sampled batches; the ONLY divergence channel is
+    violator masks computed from the NS-projected metric instead of the
+    eigh-projected one. The chunk-boundary state must be near-identical in
+    the quadratic-form sense AND satisfy every exact-mode invariant
+    (A = W^T W, PSD), because pj_train_chunk re-factorises from df_avg."""
+    pos, neg, _ = synth_pj_dataset(rng, n_pos=400, n_neg=400, n_feat=32)
+    key = jax.random.PRNGKey(7)
+    exact = pj_train_chunk(jnp.asarray(pos), jnp.asarray(neg), 0.002, 0.5,
+                           pj_init(32), key, batch=64, n_steps=30,
+                           eigh_mode="exact")
+    ns = pj_train_chunk(jnp.asarray(pos), jnp.asarray(neg), 0.002, 0.5,
+                        pj_init(32), key, batch=64, n_steps=30,
+                        eigh_mode="psd_ns")
+    a1 = np.asarray(exact.a, dtype=np.float64)
+    a2 = np.asarray(ns.a, dtype=np.float64)
+    rel = np.linalg.norm(a1 - a2) / (np.linalg.norm(a1) + 1e-12)
+    assert rel < 0.05, f"psd_ns drifted {rel:.4f} from exact"
+    # chunk-boundary invariants: true factorisation, PSD, symmetric
+    a = np.asarray(ns.a)
+    w = np.asarray(ns.w)
+    np.testing.assert_allclose(a, a.T, atol=1e-5)
+    np.testing.assert_allclose(a, w.T @ w, atol=5e-4)
+    assert np.linalg.eigvalsh(a.astype(np.float64)).min() > -1e-4
+    assert int(ns.t) == int(exact.t)
+
+
+def test_psd_ns_projection_accuracy(rng):
+    """The NS projection itself: A+ from Newton-Schulz vs eigh clamp, on a
+    matrix with a realistic RDA spectrum (large negatives, few positives,
+    a near-zero cluster)."""
+    from opencv_dlco_tpu.models.pj_rda import _psd_newton_schulz
+
+    f = 96
+    q, _ = np.linalg.qr(rng.normal(size=(f, f)))
+    lam = np.concatenate([
+        rng.uniform(0.5, 3.0, 8),            # the surviving rank
+        rng.uniform(-4.0, -0.2, f - 16),     # trace-norm-killed directions
+        rng.uniform(-1e-4, 1e-4, 8),         # the hard near-zero cluster
+    ])
+    a = (q * lam) @ q.T
+    a = 0.5 * (a + a.T)
+    ref = (q * np.maximum(lam, 0.0)) @ q.T
+    got = np.asarray(_psd_newton_schulz(jnp.asarray(a, jnp.float32), 24),
+                     dtype=np.float64)
+    err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert err < 1e-3, f"NS projection rel err {err:.2e}"
+
+
+def test_psd_ns_full_run_quality_parity(rng):
+    """psd_ns end-to-end at the full reference iteration count: final rank
+    and validation quality must match exact (same acceptance as the
+    rank-cap study below)."""
+    pos, neg, _ = synth_pj_dataset(rng, n_pos=1500, n_neg=1500, n_feat=64)
+    pos_trn, pos_val = split_train_val(pos)
+    neg_trn, neg_val = split_train_val(neg)
+    args = (jnp.asarray(pos_trn), jnp.asarray(neg_trn),
+            jnp.asarray(pos_val), jnp.asarray(neg_val))
+
+    results = {}
+    for mode in ("exact", "psd_ns"):
+        cfg = PJLearnConfig(mu=0.002, gamma=0.5, n_iter=50_000,
+                            log_step=10_000, batch=64, eigh_mode=mode)
+        w_best, history = pj_train(*args, cfg)
+        rank = int(np.sum(np.any(w_best != 0.0, axis=1)))
+        dists = np.asarray(pj_model_distances(
+            jnp.asarray(w_best),
+            jnp.asarray(np.concatenate([pos_val, neg_val]))))
+        labels = np.concatenate([np.ones(len(pos_val)),
+                                 np.zeros(len(neg_val))])
+        fpr95, auc = roc_stats(jnp.asarray(dists), jnp.asarray(labels))
+        results[mode] = dict(rank=rank, fpr95=float(fpr95), auc=float(auc),
+                             obj=history[-1]["obj_best"])
+
+    ex, ns = results["exact"], results["psd_ns"]
+    assert abs(ex["rank"] - ns["rank"]) <= 2, results
+    assert abs(ex["fpr95"] - ns["fpr95"]) <= 0.02, results
+    assert abs(ex["auc"] - ns["auc"]) <= 0.005, results
+    assert abs(ex["obj"] - ns["obj"]) / max(ex["obj"], 1e-9) < 0.05, results
+
+
 def test_rank_cap_full_run_quality_parity(rng):
     """Low-rank tracking end-to-end at the FULL reference iteration count.
 

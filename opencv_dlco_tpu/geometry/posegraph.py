@@ -213,16 +213,18 @@ from .se3 import sim3_compose, sim3_exp, sim3_inverse  # noqa: E402
 
 
 def _sim3_edge_residual(xi_i, xi_j, r_i, t_i, s_i, r_j, t_j, s_j,
-                        r_z, t_z, sw):
+                        r_z, t_z, s_z, sw):
     """(7,) residual of one edge under Sim(3) increments on both poses.
 
-    Edge measurements are SE(3) relative poses (scale 1): the optimiser
-    distributes the loop's accumulated scale error over the per-node scale
-    states — the monocular drift SE(3) graphs structurally cannot absorb
-    (Strasdat et al., "Scale drift-aware large scale monocular SLAM").
-    ``sw`` weights the log-scale component: odometry scale drift means the
-    per-edge scale ratios are exactly what must float, so it is kept soft
-    relative to the translation/rotation terms."""
+    Edge measurements are full Sim(3) relative poses: odometry edges carry
+    s_z = 1, while loop-closure edges carry the MEASURED relative scale
+    between the two endpoints' local map scales (the ratio of the two
+    endpoint depth-vote scales, ORB-SLAM's Sim(3) closure transform) —
+    under monocular drift that ratio IS the drift signal the per-node
+    scale states must absorb (Strasdat et al., "Scale drift-aware large
+    scale monocular SLAM"). ``sw`` weights the log-scale component: it is
+    kept soft relative to the translation/rotation terms so the odometry
+    scale chain can float."""
     dri, dti, dsi = sim3_exp(xi_i)
     drj, dtj, dsj = sim3_exp(xi_j)
     ri, ti, si = sim3_compose(dri, dti, dsi, r_i, t_i, s_i)
@@ -230,7 +232,7 @@ def _sim3_edge_residual(xi_i, xi_j, r_i, t_i, s_i, r_j, t_j, s_j,
     r_rel, t_rel, s_rel = sim3_compose(*sim3_inverse(ri, ti, si),
                                        rj, tj, sj)
     r_err, t_err, s_err = sim3_compose(
-        *sim3_inverse(r_z, t_z, jnp.ones_like(s_rel)), r_rel, t_rel, s_rel)
+        *sim3_inverse(r_z, t_z, s_z), r_rel, t_rel, s_rel)
     return jnp.concatenate([t_err, se3_log(r_err, jnp.zeros_like(t_err))[3:],
                             sw * jnp.log(s_err)[None]])
 
@@ -246,7 +248,7 @@ class Sim3PoseGraphResult(NamedTuple):
                    static_argnames=("n_iters", "scale_weight", "robust",
                                     "gnc_iters"))
 def optimize_pose_graph_sim3(r0, t0, edges_i, edges_j, r_z, t_z,
-                             weights=None, *, n_iters: int = 20,
+                             weights=None, s_z=None, *, n_iters: int = 20,
                              init_lambda: float = 1e-4,
                              gauge_weight: float = 1e6,
                              scale_weight: float = 0.1,
@@ -254,24 +256,28 @@ def optimize_pose_graph_sim3(r0, t0, edges_i, edges_j, r_z, t_z,
                              robust_delta: float = 0.0,
                              gnc_iters: int = 0
                              ) -> Sim3PoseGraphResult:
-    """Optimise M poses + per-node scales given E SE(3) edge measurements.
+    """Optimise M poses + per-node scales given E Sim(3) edge measurements.
 
     Same contract as optimize_pose_graph but over Sim(3): node 0 is gauge-
     fixed in all 7 dof (its unit scale anchors the global scale). The
     returned (r, t) already have the scale corrections folded into the
     trajectory; ``s`` is reported for diagnostics/map rescaling.
-    ``robust``/``robust_delta``: see optimize_pose_graph."""
+    ``s_z``: (E,) per-edge relative-scale measurements (None -> all 1, the
+    SE(3)-measurement case). ``robust``/``robust_delta``: see
+    optimize_pose_graph."""
     m = r0.shape[0]
     e = edges_i.shape[0]
     if weights is None:
         weights = jnp.ones((e,), t0.dtype)
+    if s_z is None:
+        s_z = jnp.ones((e,), t0.dtype)
     s0 = jnp.ones((m,), t0.dtype)
     zero = jnp.zeros(7, t0.dtype)
     sw = jnp.asarray(scale_weight, t0.dtype)
 
     def residuals(r, t, s):
         args = (r[edges_i], t[edges_i], s[edges_i],
-                r[edges_j], t[edges_j], s[edges_j], r_z, t_z)
+                r[edges_j], t[edges_j], s[edges_j], r_z, t_z, s_z)
         return jax.vmap(
             lambda *a: _sim3_edge_residual(zero, zero, *a, sw))(*args)
 
@@ -284,7 +290,7 @@ def optimize_pose_graph_sim3(r0, t0, edges_i, edges_j, r_z, t_z,
     def linearize(r, t, s, d2_k):
         ri, ti, si = r[edges_i], t[edges_i], s[edges_i]
         rj, tj, sj = r[edges_j], t[edges_j], s[edges_j]
-        args = (ri, ti, si, rj, tj, sj, r_z, t_z)
+        args = (ri, ti, si, rj, tj, sj, r_z, t_z, s_z)
         res = residuals(r, t, s)
         ja = jax.vmap(
             lambda *a: jax.jacfwd(_sim3_edge_residual, 0)(zero, zero, *a, sw)
@@ -351,8 +357,8 @@ def optimize_pose_graph_sim3(r0, t0, edges_i, edges_j, r_z, t_z,
 
 # -- distributed pose graph: edges partitioned over the dp mesh axis --------
 
-def _graph_optimize_sharded(mesh, dof, state0, edges_i, edges_j, r_z, t_z,
-                            weights, edge_blocks, apply_dx, n_iters,
+def _graph_optimize_sharded(mesh, dof, state0, edges_i, edges_j, z_arrays,
+                            z_pads, weights, edge_blocks, apply_dx, n_iters,
                             init_lambda, gauge_weight,
                             robust="none", robust_delta=0.0, gnc_iters=0):
     """Shared engine of the sharded SE(3)/Sim(3) pose-graph solvers.
@@ -369,7 +375,10 @@ def _graph_optimize_sharded(mesh, dof, state0, edges_i, edges_j, r_z, t_z,
     up to psum reduction order.
 
     ``state0``: tuple of per-node arrays, e.g. (r, t) or (r, t, s);
-    ``edge_blocks(state_i..., state_j..., r_z, t_z) -> (res, ja, jb)``;
+    ``z_arrays``: tuple of per-edge measurement arrays, e.g. (r_z, t_z)
+    or (r_z, t_z, s_z), with ``z_pads`` giving the identity element each
+    is padded with (so padded edges have exactly-zero residuals);
+    ``edge_blocks(state_i..., state_j..., *z) -> (res, ja, jb)``;
     ``apply_dx(state, dx) -> state``.
     """
     from jax import shard_map
@@ -386,36 +395,42 @@ def _graph_optimize_sharded(mesh, dof, state0, edges_i, edges_j, r_z, t_z,
     # weight 0 — residual exactly 0, contributes nothing to H, b, or cost
     edges_i = jnp.concatenate([edges_i, jnp.zeros(pad, edges_i.dtype)])
     edges_j = jnp.concatenate([edges_j, jnp.zeros(pad, edges_j.dtype)])
-    r_z = jnp.concatenate(
-        [r_z, jnp.broadcast_to(jnp.eye(3, dtype=r_z.dtype), (pad, 3, 3))])
-    t_z = jnp.concatenate([t_z, jnp.zeros((pad, 3), t_z.dtype)])
+    z_arrays = tuple(
+        jnp.concatenate(
+            [z, jnp.broadcast_to(jnp.asarray(zp, z.dtype),
+                                 (pad,) + z.shape[1:])])
+        for z, zp in zip(z_arrays, z_pads))
     weights = jnp.concatenate([weights, jnp.zeros(pad, weights.dtype)])
 
     n_state = len(state0)
+    n_z = len(z_arrays)
     state_specs = (P(),) * n_state
+    z_specs = (P(data_axis),) * n_z
 
     if robust != "none":
         rho_fn = _ROBUST[robust]
 
-        def chi2_shard(ei_l, ej_l, rz_l, tz_l, w_l, *state):
+        def chi2_shard(ei_l, ej_l, w_l, *rest):
+            z_l, state = rest[:n_z], rest[n_z:]
             gi = tuple(a[ei_l] for a in state)
             gj = tuple(a[ej_l] for a in state)
-            res, _, _ = jax.vmap(edge_blocks)(*gi, *gj, rz_l, tz_l)
+            res, _, _ = jax.vmap(edge_blocks)(*gi, *gj, *z_l)
             return w_l * jnp.sum(res * res, axis=1)
 
         chi2_0 = shard_map(
             chi2_shard, mesh=mesh,
-            in_specs=(P(data_axis),) * 5 + state_specs,
+            in_specs=(P(data_axis),) * 3 + z_specs + state_specs,
             out_specs=P(data_axis), check_vma=False,
-        )(edges_i, edges_j, r_z, t_z, weights, *state0)
+        )(edges_i, edges_j, weights, *z_arrays, *state0)
         delta2 = _resolve_delta2(chi2_0, weights, robust_delta)
     else:
-        delta2 = jnp.asarray(0.0, t_z.dtype)  # unused, keeps one signature
+        delta2 = jnp.asarray(0.0, weights.dtype)  # unused, keeps signature
 
-    def lin_shard(delta2_s, ei_l, ej_l, rz_l, tz_l, w_l, *state):
+    def lin_shard(delta2_s, ei_l, ej_l, w_l, *rest):
+        z_l, state = rest[:n_z], rest[n_z:]
         gi = tuple(a[ei_l] for a in state)
         gj = tuple(a[ej_l] for a in state)
-        res, ja, jb = jax.vmap(edge_blocks)(*gi, *gj, rz_l, tz_l)
+        res, ja, jb = jax.vmap(edge_blocks)(*gi, *gj, *z_l)
         chi2 = w_l * jnp.sum(res * res, axis=1)
         if robust == "none":
             cost = jax.lax.psum(jnp.sum(chi2), data_axis)
@@ -443,36 +458,34 @@ def _graph_optimize_sharded(mesh, dof, state0, edges_i, edges_j, r_z, t_z,
 
     lin_sharded = shard_map(
         lin_shard, mesh=mesh,
-        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis),
-                  P(data_axis), P(data_axis)) + state_specs,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis))
+        + z_specs + state_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
-    def linearize(d2_k, ei, ej, rz, tz, w, *state):
-        return lin_sharded(d2_k, ei, ej, rz, tz, w, *state)
+    def linearize(d2_k, *state):
+        return lin_sharded(d2_k, edges_i, edges_j, weights, *z_arrays,
+                           *state)
 
     def step(carry, k):
         state, lam = carry
         d2_k = delta2 * _gnc_scale(k, gnc_iters)
-        h, b, cost = linearize(d2_k, edges_i, edges_j, r_z, t_z, weights,
-                               *state)
+        h, b, cost = linearize(d2_k, *state)
         h = h.at[0, 0].add(gauge_weight * jnp.eye(dof))
         hd = h.transpose(0, 2, 1, 3).reshape(dof * m, dof * m)
         hd = hd + lam * jnp.diag(jnp.maximum(jnp.diag(hd), 1e-8))
         dx = jnp.linalg.solve(hd + 1e-9 * jnp.eye(dof * m),
                               b.reshape(-1)).reshape(m, dof)
         state_new = apply_dx(state, dx)
-        _, _, new_cost = linearize(d2_k, edges_i, edges_j, r_z, t_z,
-                                   weights, *state_new)
+        _, _, new_cost = linearize(d2_k, *state_new)
         accept = new_cost < cost
         state = tuple(jnp.where(accept, a_new, a)
                       for a_new, a in zip(state_new, state))
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         return (state, lam), jnp.where(accept, new_cost, cost)
 
-    _, _, cost0 = linearize(delta2, edges_i, edges_j, r_z, t_z, weights,
-                            *state0)
+    _, _, cost0 = linearize(delta2, *state0)
     (state, _), costs = jax.lax.scan(
         step, (state0, jnp.asarray(init_lambda)), jnp.arange(n_iters))
     return state, jnp.concatenate([cost0[None], costs])
@@ -506,7 +519,8 @@ def optimize_pose_graph_sharded(mesh, r0, t0, edges_i, edges_j, r_z, t_z,
         return se3_compose(dr, dt, r, t)
 
     (r, t), costs = _graph_optimize_sharded(
-        mesh, 6, (r0, t0), edges_i, edges_j, r_z, t_z, weights,
+        mesh, 6, (r0, t0), edges_i, edges_j, (r_z, t_z),
+        (jnp.eye(3, dtype=r_z.dtype), jnp.zeros(3, t_z.dtype)), weights,
         edge_blocks, apply_dx, n_iters, init_lambda, gauge_weight,
         robust, robust_delta, gnc_iters)
     return PoseGraphResult(r=r, t=t, cost_history=costs)
@@ -516,7 +530,7 @@ def optimize_pose_graph_sharded(mesh, r0, t0, edges_i, edges_j, r_z, t_z,
                    static_argnames=("mesh", "n_iters", "scale_weight",
                                     "robust", "gnc_iters"))
 def optimize_pose_graph_sim3_sharded(mesh, r0, t0, edges_i, edges_j, r_z,
-                                     t_z, weights=None, *,
+                                     t_z, weights=None, s_z=None, *,
                                      n_iters: int = 20,
                                      init_lambda: float = 1e-4,
                                      gauge_weight: float = 1e6,
@@ -528,12 +542,14 @@ def optimize_pose_graph_sim3_sharded(mesh, r0, t0, edges_i, edges_j, r_z,
     """optimize_pose_graph_sim3 with edges sharded over the dp axis."""
     if weights is None:
         weights = jnp.ones((edges_i.shape[0],), t0.dtype)
+    if s_z is None:
+        s_z = jnp.ones((edges_i.shape[0],), t0.dtype)
     s0 = jnp.ones((r0.shape[0],), t0.dtype)
     zero = jnp.zeros(7, t0.dtype)
     sw = jnp.asarray(scale_weight, t0.dtype)
 
-    def edge_blocks(r_i, t_i, s_i, r_j, t_j, s_j, rz, tz):
-        args = (r_i, t_i, s_i, r_j, t_j, s_j, rz, tz, sw)
+    def edge_blocks(r_i, t_i, s_i, r_j, t_j, s_j, rz, tz, sz):
+        args = (r_i, t_i, s_i, r_j, t_j, s_j, rz, tz, sz, sw)
         res = _sim3_edge_residual(zero, zero, *args)
         ja = jax.jacfwd(_sim3_edge_residual, 0)(zero, zero, *args)
         jb = jax.jacfwd(_sim3_edge_residual, 1)(zero, zero, *args)
@@ -545,7 +561,9 @@ def optimize_pose_graph_sim3_sharded(mesh, r0, t0, edges_i, edges_j, r_z,
         return sim3_compose(dr, dt, ds, r, t, s)
 
     (r, t, s), costs = _graph_optimize_sharded(
-        mesh, 7, (r0, t0, s0), edges_i, edges_j, r_z, t_z, weights,
+        mesh, 7, (r0, t0, s0), edges_i, edges_j, (r_z, t_z, s_z),
+        (jnp.eye(3, dtype=r_z.dtype), jnp.zeros(3, t_z.dtype),
+         jnp.ones((), t0.dtype)), weights,
         edge_blocks, apply_dx, n_iters, init_lambda, gauge_weight,
         robust, robust_delta, gnc_iters)
     return Sim3PoseGraphResult(r=r, t=t, s=s, cost_history=costs)

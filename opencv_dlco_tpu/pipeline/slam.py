@@ -82,7 +82,17 @@ class SlamConfig:
     loop_min_inlier_ratio: float = 0.35  # inliers / matches gate
     loop_mutual: bool = True            # mutual top-k retrieval consistency
     loop_cluster_frames: int = 0        # temporal dedup radius (0 = gap//2)
-    loop_scale_consistency: float = 1.6  # max endpoint scale-vote ratio
+    # endpoint scale-vote ratio: under Sim(3) the ratio IS the edge's
+    # relative-scale measurement (drift signal), bounded only by a loose
+    # sanity cap; under SE(3) (which cannot absorb scale mismatch) the
+    # tight consistency gate + geometric mean applies instead
+    loop_scale_consistency: float = 1.6  # SE(3)-only tight gate
+    loop_scale_sanity: float = 25.0      # Sim(3) sanity cap on the ratio
+    # self-scaling re-visit test: accept a loop only if the measured direct
+    # hop is shorter than this fraction of the odometry path between the
+    # frames (near-neighbour "loops" have direct ~ path and add nothing
+    # but vote noise; 0 disables)
+    loop_path_ratio: float = 0.6
     loop_vote_max_mad: float = 0.3      # max log-ratio MAD of a scale vote
     loop_min_vote_points: int = 12      # min depth-ratio votes per endpoint
     loop_weight: float = 1.0            # pose-graph weight of loop edges
@@ -630,6 +640,11 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     cand = [(int(kfs[b]), int(kfs[a])) for a, b in zip(a_pos, b_pos)]
 
     ests, usable = batched_pair_poses(feats, cand, intrinsics, cfg, key)
+    # odometry path length between two frames, in propagated-scale units —
+    # the denominator of the self-scaling re-visit test below
+    step_len = np.asarray([float(np.linalg.norm(p.translation))
+                           for p in result.pairs])
+    cum_len = np.concatenate([[0.0], np.cumsum(step_len)])
     accepted = []
     for (fb, fa), est, u in zip(cand, ests, usable):
         if not u or est.n_inliers < cfg.loop_min_inliers:
@@ -652,11 +667,17 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
             continue
         # second, independent vote at the OTHER endpoint: the same loop
         # landmarks expressed in frame fa vs the odometry depths of pair
-        # (fa, fa+1). A mis-voted scale (wrong depth associations, thin
-        # overlap) rarely mis-votes the same way twice — requiring the two
-        # endpoint votes to agree gates out most scale-poisoned edges, and
-        # their geometric mean halves the noise of either vote alone.
-        if cfg.loop_scale_consistency > 0 and fa < len(result.pairs):
+        # (fa, fa+1). Under monocular drift the two votes measure the SAME
+        # baseline in the two endpoints' LOCAL map units, so their ratio
+        # is the accumulated relative scale drift between the endpoints —
+        # the Sim(3) edge's scale measurement (ORB-SLAM's Sim(3) closure
+        # transform), NOT noise to be gated away. Round 2's tight
+        # agreement gate rejected exactly the drift-carrying TRUE closures
+        # the graph needs most; only a loose sanity bound remains for the
+        # Sim(3) path, while SE(3) graphs (which cannot absorb a scale
+        # mismatch) keep the tight gate + geometric-mean compromise.
+        s_z = 1.0
+        if fa < len(result.pairs):
             pts_fa = est.points3d @ est.rotation.T + est.translation
             odo_a = result.pairs[fa]
             depths_a = _depth_map(odo_a.kp_prev_idx, odo_a.points3d[:, 2],
@@ -667,15 +688,32 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
             if scale_a is None or (cfg.loop_vote_max_mad > 0
                                    and mad_a > cfg.loop_vote_max_mad):
                 continue
-            if (max(scale_a, scale) / min(scale_a, scale)
-                    > cfg.loop_scale_consistency):
+            ratio = max(scale_a, scale) / min(scale_a, scale)
+            if cfg.use_sim3:
+                if ratio > cfg.loop_scale_sanity:
+                    continue
+                s_z = float(scale / scale_a)   # zero-residual convention
+            else:
+                if (cfg.loop_scale_consistency > 0
+                        and ratio > cfg.loop_scale_consistency):
+                    continue
+                scale = float(np.sqrt(scale_a * scale))
+        # re-visit test (self-scaling, replaces any fixed frame-gap
+        # heuristic): a loop closure is a SHORT direct hop between frames
+        # whose odometry path is LONG — co-visible near-neighbours have
+        # direct ~ path and are odometry, not loops. Both lengths are in
+        # drift-consistent local units (direct uses the fb vote; the path
+        # starts at fb), so the test survives arbitrary global drift.
+        if cfg.loop_path_ratio > 0:
+            direct = scale * float(np.linalg.norm(est.translation))
+            path = float(cum_len[min(fa, len(step_len))] - cum_len[fb])
+            if direct >= cfg.loop_path_ratio * path:
                 continue
-            scale = float(np.sqrt(scale_a * scale))
         # est maps frame-fb -> frame-fa; the edge measurement is
         # i_T_j = inv([R | s*t]) with i=fb, j=fa.
         r_inv = est.rotation.T
         t_inv = -r_inv @ (est.translation * scale)
-        accepted.append((est.n_inliers, fb, fa, r_inv, t_inv))
+        accepted.append((est.n_inliers, fb, fa, r_inv, t_inv, s_z))
 
     # temporal-cluster dedup: consecutive keyframes revisiting the same
     # place produce a blanket of near-duplicate edges (229 on the 192-frame
@@ -684,12 +722,12 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     # per (i, j) neighbourhood.
     radius = cfg.loop_cluster_frames or max(1, cfg.loop_gap // 2)
     accepted.sort(key=lambda e: -e[0])
-    edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
-    for n_inl, fb, fa, r_e, t_e in accepted:
+    edges: List[Tuple[int, int, np.ndarray, np.ndarray, float]] = []
+    for n_inl, fb, fa, r_e, t_e, s_e in accepted:
         if any(abs(fb - i) <= radius and abs(fa - j) <= radius
-               for i, j, _, _ in edges):
+               for i, j, *_ in edges):
             continue
-        edges.append((fb, fa, r_e, t_e))
+        edges.append((fb, fa, r_e, t_e, s_e))
     return edges
 
 
@@ -948,13 +986,15 @@ def _loop_edge_chi2(result: SlamResult, loop_edges, loop_weight: float
     numpy; small-angle se3_log approximation — this only calibrates the
     robust kernel width, it is not the solver's residual)."""
     chi2 = []
-    for (i, j, r_ij, t_ij) in loop_edges:
+    for edge in loop_edges:
+        i, j, r_ij, t_ij = edge[:4]
+        s_ij = float(edge[4]) if len(edge) > 4 else 1.0
         ri, ti = result.rotations[i], result.translations[i]
         rj, tj = result.rotations[j], result.translations[j]
         r_rel = ri.T @ rj
         t_rel = ri.T @ (tj - ti)
         err_r = np.asarray(r_ij).T @ r_rel
-        err_t = np.asarray(r_ij).T @ (t_rel - np.asarray(t_ij))
+        err_t = (np.asarray(r_ij).T @ (t_rel - np.asarray(t_ij))) / s_ij
         ang = np.arccos(np.clip((np.trace(err_r) - 1.0) * 0.5, -1.0, 1.0))
         chi2.append(loop_weight * (float(err_t @ err_t) + float(ang) ** 2))
     return np.asarray(chi2)
@@ -983,7 +1023,7 @@ def refine_with_pose_graph(result: SlamResult,
     initial chi² (median × ``robust_scale``): odometry residuals are ~0 at
     the chained init, so a whole-graph median would crush every loop edge
     to zero weight and the graph would ignore its own closures."""
-    ei, ej, rz, tz, wts = [], [], [], [], []
+    ei, ej, rz, tz, sz, wts = [], [], [], [], [], []
     overrides = odometry_overrides or {}
     for k, est in enumerate(result.pairs):
         if k in overrides:
@@ -997,12 +1037,18 @@ def refine_with_pose_graph(result: SlamResult,
         ej.append(k + 1)
         rz.append(r_e)
         tz.append(t_e)
+        sz.append(1.0)
         wts.append(1.0)
-    for (i, j, r_ij, t_ij) in loop_edges or []:
+    for edge in loop_edges or []:
+        i, j, r_ij, t_ij = edge[:4]
         ei.append(i)
         ej.append(j)
         rz.append(np.asarray(r_ij))
         tz.append(np.asarray(t_ij))
+        # loop edges may carry a measured relative scale (the endpoint
+        # depth-vote ratio — the Sim(3) drift signal); SE(3) solvers
+        # ignore it (their detector path gated the ratio tight instead)
+        sz.append(float(edge[4]) if len(edge) > 4 else 1.0)
         wts.append(loop_weight)
     robust_kwargs = {}
     if robust != "none" and loop_edges:
@@ -1017,6 +1063,8 @@ def refine_with_pose_graph(result: SlamResult,
         solver = functools.partial(base, mesh)
     else:
         solver = optimize_pose_graph_sim3 if sim3 else optimize_pose_graph
+    sim3_kwargs = (
+        {"s_z": jnp.asarray(np.asarray(sz, np.float32))} if sim3 else {})
     out = solver(
         jnp.asarray(result.rotations.astype(np.float32)),
         jnp.asarray(result.translations.astype(np.float32)),
@@ -1024,7 +1072,7 @@ def refine_with_pose_graph(result: SlamResult,
         jnp.asarray(np.stack(rz).astype(np.float32)),
         jnp.asarray(np.stack(tz).astype(np.float32)),
         jnp.asarray(np.asarray(wts, np.float32)),
-        n_iters=n_iters, **robust_kwargs)
+        n_iters=n_iters, **sim3_kwargs, **robust_kwargs)
     return SlamResult(rotations=np.asarray(out.r),
                       translations=np.asarray(out.t), pairs=result.pairs,
                       keyframes=result.keyframes,
@@ -1072,8 +1120,8 @@ def run_back_end(odo: SlamResult, feats, intrinsics, cfg: SlamConfig,
         return SlamResult(
             rotations=rs_all, translations=ts_all, pairs=odo.pairs,
             keyframes=nodes[kf_local],
-            loop_edges=[(int(nodes[i]), int(nodes[j]), r, t)
-                        for i, j, r, t in loops_n],
+            loop_edges=[(int(nodes[i]), int(nodes[j]), r, t, s)
+                        for i, j, r, t, s in loops_n],
             nodes=nodes, bb_pairs=odo.bb_pairs)
 
     kf = select_keyframes(odo, cfg)

@@ -61,15 +61,20 @@ def _render_3d_blobs(pts3d, amps, sigma_px, f, c, size, r=None, t=None):
 
 
 @requires_reference
-def test_two_view_sfm_end_to_end(rng):
+def test_two_view_sfm_end_to_end():
     """Non-planar 3D blob field seen from two poses; the full
     detect->describe->match->RANSAC->BA pipeline, running the reference's
     *published* 64-D descriptor through our stack, must recover the
-    relative pose (a planar scene would leave E degenerate)."""
+    relative pose (a planar scene would leave E degenerate).
+
+    Dedicated rng (not the shared session fixture): the rendered scene —
+    and the 2-degree rotation margin — must not depend on which tests
+    consumed the session rng before this one (subset runs reorder it)."""
     from opencv_dlco_tpu.models.vgg import VGGDescriptor
     from opencv_dlco_tpu.pipeline.sfm import two_view_sfm
     from opencv_dlco_tpu.geometry.se3 import so3_exp
 
+    rng = np.random.default_rng(2215)
     f, c, size = 300.0, 160.0, 320
     n = 220
     pts3d = np.stack([

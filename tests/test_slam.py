@@ -145,11 +145,11 @@ def test_slam_loop_closure_detected_and_ate():
 
     loops = detect_loop_closures(feats, kf, odo, intr, cfg)
     assert len(loops) >= 1, "no loop closure detected on a closed loop"
-    assert all(j - i >= cfg.loop_gap for i, j, _, _ in loops)
+    assert all(j - i >= cfg.loop_gap for i, j, *_ in loops)
     # the trajectory closes: at least one edge should tie the final quarter
     # back to the first quarter
     n = len(frames)
-    assert any(i < n // 4 and j > 3 * n // 4 for i, j, _, _ in loops)
+    assert any(i < n // 4 and j > 3 * n // 4 for i, j, *_ in loops)
 
     overrides = windowed_ba(odo, feats, intr, cfg)
     assert len(overrides) >= (n - 1) // 2, \
@@ -352,3 +352,73 @@ def test_windowed_ba_and_pose_graph_sharded_match(rng):
                                    mesh=mesh)
     np.testing.assert_allclose(ref_8.translations, ref_1.translations,
                                atol=1e-3)
+
+
+@requires_reference
+@pytest.mark.slow
+def test_slam_long_sequence_ate_and_loop_precision():
+    """Long-sequence back-end regression (VERDICT r2 next #1 'Done'
+    criteria): >=128 frames, the ATE bar the 48-frame flagship meets AND a
+    loop-closure precision bound.
+
+    At 128 frames on the same circle, consecutive views are ~3x closer
+    than the flagship's, monocular scale drifts several-fold around the
+    loop, and round 2's detector (a) let near-neighbour co-visible pairs
+    masquerade as loop closures (229 on the 192-frame bench) and (b)
+    rejected the TRUE seam closure because its two endpoint scale votes
+    disagreed by exactly the drift factor. The fixed detector treats that
+    ratio as the Sim(3) edge's relative-scale measurement and applies the
+    self-scaling re-visit test (direct hop << odometry path)."""
+    frames, centers_gt, intr = _loop_sequence(np.random.default_rng(2215),
+                                              n_frames=128)
+    from opencv_dlco_tpu.models.vgg import VGGDescriptor
+    from opencv_dlco_tpu.pipeline.slam import run_back_end
+
+    with open(f"{REFERENCE}/workspace/opencv/vgg_generated_64.i") as fh:
+        model = VGGDescriptor.from_header(fh.read())
+    cfg = SlamConfig(n_keypoints=256, kf_min_translation=2.5,
+                     kf_min_rotation=0.05, loop_gap=10)
+    feats = compute_features(frames, model, cfg)
+    odo = run_odometry(frames, intr, model, cfg, feats=feats)
+    refined = run_back_end(odo, feats, intr, cfg)
+
+    span = float(np.linalg.norm(centers_gt.max(0) - centers_gt.min(0)))
+    ate_odo = ate_rmse(odo.translations, centers_gt)
+    ate_ref = ate_rmse(refined.translations, centers_gt)
+    assert ate_ref < 0.10 * span, \
+        f"ATE {ate_ref:.3f} vs span {span:.3f} (odometry {ate_odo:.3f})"
+    assert ate_ref < 0.6 * ate_odo, "back end barely beats raw odometry"
+
+    # loop-closure evidence + precision: at least one seam closure, few
+    # edges total (the near-neighbour blanket is gated), and EVERY edge
+    # measurement geometrically correct vs ground truth
+    loops = refined.loop_edges
+    n = len(frames)
+    assert 1 <= len(loops) <= 8, f"{len(loops)} loop edges"
+    assert any(i < n // 4 and j > 3 * n // 4 for i, j, *_ in loops), \
+        f"no seam closure among {[(i, j) for i, j, *_ in loops]}"
+    n_correct = 0
+    for i, j, r_ij, t_ij, s_ij in loops:
+        # gt relative rotation i->j (camera frames): r_i^T r_j with the
+        # synthetic world_T_cam rotations reconstructed from the yaw law
+        # of _loop_sequence; translation direction in frame-i coords
+        def rot(k):
+            th = 2 * np.pi * k / n
+            yaw = 0.03 * np.sin(th)
+            return np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.0])))
+
+        r_gt = rot(i).T @ rot(j)
+        d_r = np.asarray(r_ij).T @ r_gt
+        ang = np.degrees(np.arccos(np.clip((np.trace(d_r) - 1) / 2, -1, 1)))
+        t_gt = rot(i).T @ (centers_gt[j] - centers_gt[i])
+        tn = np.linalg.norm(np.asarray(t_ij))
+        if tn > 1e-9 and np.linalg.norm(t_gt) > 1e-9:
+            cos = float(np.asarray(t_ij) @ t_gt
+                        / (tn * np.linalg.norm(t_gt)))
+            dir_ok = cos > 0.9
+        else:
+            dir_ok = True   # near-zero baseline: direction unobservable
+        if ang < 10.0 and dir_ok:
+            n_correct += 1
+    assert n_correct / len(loops) >= 0.75, \
+        f"loop edge precision {n_correct}/{len(loops)}"

@@ -114,16 +114,33 @@ class Workspace:
 
     # -- stage 3: full ring-distance precompute ---------------------------
 
-    def compdist(self, ds: str) -> str:
+    def compdist(self, ds: str, sharded: Optional[bool] = None) -> str:
         """Per-pair 5120-D ring distances (reference: 03-compdist.sh,
         src/comp-fulldists.cpp). Batched device pipeline; streams the
-        (n_pairs, n_rings) matrix to disk tile-by-tile."""
-        out = self.path("distances", f"{ds}-dist.h5")
+        (n_pairs, n_rings) matrix to disk tile-by-tile.
+
+        ``sharded`` (default: auto — on iff process_count > 1) switches to
+        the multi-writer zarr store (data/shard_store.py): every process
+        computes and writes ITS OWN chunk-aligned row range of the
+        distance matrix concurrently — the distributed stage-3 SURVEY §5
+        calls for, impossible over single-writer HDF5. Downstream readers
+        are format-agnostic via open_for_read."""
+        from ..parallel.distributed import host_info
+
+        info = host_info()
+        if sharded is None:
+            sharded = info["process_count"] > 1
         n_rings = self.pool_cfg.n_rings
         with ArtifactStore(self.path("dataset", f"{ds}.h5"), "r") as st:
             indices = st.read("Indices")
             patches = st.read("Patches")
         n_pairs = indices.shape[0]
+
+        if sharded:
+            return self._compdist_sharded(ds, indices, patches, n_pairs,
+                                          n_rings, info)
+
+        out = self.path("distances", f"{ds}-dist.h5")
         if os.path.exists(out):
             with ArtifactStore(out, "r") as st:
                 if (st.exists("Distance")
@@ -131,45 +148,87 @@ class Workspace:
                         and st.get_meta("complete", False)):
                     return out
 
-        filters = jnp.asarray(self.load_filters())
-        labels = pair_labels(indices)
         bar = self._bar()
+        with ArtifactStore(out, "w") as st:
+            st.write("Label", pair_labels(indices).reshape(-1, 1))
+            st.create("Distance", (n_pairs, n_rings), np.float32)
+            self._dist_rows(st, indices, patches, 0, n_pairs, bar)
+            if bar:
+                bar.done()
+            st.set_meta("complete", True)
+        return out
+
+    def _dist_rows(self, st, indices, patches, lo: int, hi: int, bar=None):
+        """Compute + write distance rows [lo, hi) into ``st`` (H5 or zarr).
+
+        Implementation choice: reference-parity runs (precision="highest")
+        go through the XLA path; bf16-opted runs take the fused Pallas
+        kernel on TPU (hardware-measured: 13.2k pairs/s vs 4.4k XLA-f32,
+        end-metric dFPR95 = 0.0 — see ops/pair_distance_pallas.py)."""
+        filters = jnp.asarray(self.load_filters())
         blk = self.pair_block
-        # implementation choice: reference-parity runs (precision="highest")
-        # go through the XLA path; bf16-opted runs take the fused Pallas
-        # kernel on TPU (hardware-measured: 13.2k pairs/s vs 4.4k XLA-f32,
-        # end-metric dFPR95 = 0.0 — see ops/pair_distance_pallas.py)
         use_fused = (jax.default_backend() == "tpu"
                      and self.desc_cfg.matmul_precision != "highest"
                      and int(filters.shape[0]) % 1024 == 0)
         if use_fused:
             from ..ops.pair_distance_pallas import ring_distances_fused
-        with ArtifactStore(out, "w") as st:
-            st.write("Label", labels.reshape(-1, 1))
-            st.create("Distance", (n_pairs, n_rings), np.float32)
-            for s in range(0, n_pairs, blk):
-                e = min(s + blk, n_pairs)
-                p1 = jnp.asarray(patches[indices[s:e, 0]])
-                p2 = jnp.asarray(patches[indices[s:e, 2]])
-                pt1 = batch_patch_transform(p1, self.desc_cfg)
-                pt2 = batch_patch_transform(p2, self.desc_cfg)
-                if use_fused:
-                    d = np.asarray(ring_distances_fused(
-                        filters, pt1, pt2, bf16=True))
-                else:
-                    d = np.asarray(ring_distances(
-                        filters, pt1, pt2,
-                        precision=self.desc_cfg.precision))
-                if not np.all(np.isfinite(d)):
-                    raise FloatingPointError(
-                        f"Distance contains NaN/Inf in rows [{s}, {e})"
-                    )  # reference: src/comp-fulldists.cpp:362-366
-                st.write_rows("Distance", s, d)
-                if bar:
-                    bar.update(e / n_pairs)
+        for s in range(lo, hi, blk):
+            e = min(s + blk, hi)
+            p1 = jnp.asarray(patches[indices[s:e, 0]])
+            p2 = jnp.asarray(patches[indices[s:e, 2]])
+            pt1 = batch_patch_transform(p1, self.desc_cfg)
+            pt2 = batch_patch_transform(p2, self.desc_cfg)
+            if use_fused:
+                d = np.asarray(ring_distances_fused(
+                    filters, pt1, pt2, bf16=True))
+            else:
+                d = np.asarray(ring_distances(
+                    filters, pt1, pt2,
+                    precision=self.desc_cfg.precision))
+            if not np.all(np.isfinite(d)):
+                raise FloatingPointError(
+                    f"Distance contains NaN/Inf in rows [{s}, {e})"
+                )  # reference: src/comp-fulldists.cpp:362-366
+            st.write_rows("Distance", s, d)
             if bar:
-                bar.done()
-            st.set_meta("complete", True)
+                bar.update((e - lo) / max(hi - lo, 1))
+
+    def _compdist_sharded(self, ds: str, indices, patches, n_pairs: int,
+                          n_rings: int, info) -> str:
+        """Multi-writer stage 3: each process owns a chunk-aligned row
+        range; writes land concurrently in the zarr store with no
+        primary-writer funnel. Completion = every writer's done marker."""
+        import time as _time
+
+        from ..data.shard_store import (ShardedArrayStore, shard_rows)
+
+        out = self.path("distances", f"{ds}-dist.zarr")
+        pid, n_proc = info["process_index"], info["process_count"]
+        st = ShardedArrayStore(out)
+        if (st.exists("Distance") and st.shape("Distance") ==
+                (n_pairs, n_rings) and st.all_done(n_proc)):
+            return out
+        st.create("Label", (n_pairs, 1), np.int32, self.pair_block)
+        st.create("Distance", (n_pairs, n_rings), np.float32,
+                  self.pair_block)
+        lo, hi = shard_rows(n_pairs, self.pair_block, pid, n_proc)
+        labels = pair_labels(indices).reshape(-1, 1).astype(np.int32)
+        st.write_rows("Label", lo, labels[lo:hi])
+        self._dist_rows(st, indices, patches, lo, hi,
+                        self._bar() if pid == 0 else None)
+        st.mark_done(pid, {"rows": [int(lo), int(hi)]})
+        # filesystem barrier: stage output is only usable when every
+        # writer has landed (shared-filesystem contract, same as the
+        # reference's per-stage file-existence resume)
+        deadline = _time.time() + 600.0
+        while not st.all_done(n_proc):
+            if _time.time() > deadline:
+                missing = [w for w in range(n_proc)
+                           if not os.path.exists(os.path.join(
+                               out, "_meta", f"done-{w}.json"))]
+                raise TimeoutError(
+                    f"compdist shards incomplete after 600s: {missing}")
+            _time.sleep(0.2)
         return out
 
     # -- shared loading for the learners ----------------------------------
@@ -184,7 +243,9 @@ class Workspace:
         splits; see models/select.compute_pr_stats_splits and the residency
         note in utils/memory.py).
         """
-        with ArtifactStore(dist_path, "r") as st:
+        from ..data.shard_store import open_for_read
+
+        with open_for_read(dist_path) as st:
             labels = st.read("Label").reshape(-1)
             n_rows, n_feat = st.shape("Distance")
             pos_idx = np.flatnonzero(labels == 1)

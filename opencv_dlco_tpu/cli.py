@@ -295,7 +295,7 @@ def main(argv=None):
     sp.add_argument("--log-step", type=int, default=100)
     sp.add_argument("--batch", type=int, default=200)
     sp.add_argument("--eigh-mode", default="exact",
-                    choices=["exact", "subspace"])
+                    choices=["exact", "subspace", "psd_ns"])
     sp.set_defaults(fn=cmd_pjlearn)
 
     sp = sub.add_parser("pjsweep", help="vmapped PJ hyperparameter grid")
@@ -305,7 +305,7 @@ def main(argv=None):
     sp.add_argument("--log-step", type=int, default=100)
     sp.add_argument("--batch", type=int, default=200)
     sp.add_argument("--eigh-mode", default="exact",
-                    choices=["exact", "subspace"])
+                    choices=["exact", "subspace", "psd_ns"])
     sp.set_defaults(fn=cmd_pjsweep)
 
     sp = sub.add_parser("sfm", help="two-view SfM on an image pair")

@@ -114,8 +114,8 @@ def two_view_ba(r0, t0, points0, obs1, obs2, weights=None, *,
         hcc = jnp.einsum("nri,nrj->ij", jc_w, jc, precision=_HIGHEST)
         hpp = jnp.einsum("nri,nrj->nij", jp_w, jp, precision=_HIGHEST)
         hcp = jnp.einsum("nri,nrj->nij", jc_w, jp, precision=_HIGHEST)
-        bc = -jnp.einsum("nri,nr->i", jc_w, res)
-        bp = -jnp.einsum("nri,nr->ni", jp_w, res)
+        bc = -jnp.einsum("nri,nr->i", jc_w, res, precision=_HIGHEST)
+        bp = -jnp.einsum("nri,nr->ni", jp_w, res, precision=_HIGHEST)
         cost = jnp.sum(res_w * res)
         return cost, hcc, hpp, hcp, bc, bp
 
@@ -129,8 +129,10 @@ def two_view_ba(r0, t0, points0, obs1, obs2, weights=None, *,
         rhs = bc - jnp.einsum("nij,njk,nk->i", hcp, hpp_inv, bp,
                               precision=_HIGHEST)
         dc = jnp.linalg.solve(s + 1e-10 * jnp.eye(6), rhs)
-        dp = jnp.einsum("nij,nj->ni", hpp_inv,
-                        bp - jnp.einsum("nkj,k->nj", hcp, dc))
+        dp = jnp.einsum(
+            "nij,nj->ni", hpp_inv,
+            bp - jnp.einsum("nkj,k->nj", hcp, dc, precision=_HIGHEST),
+            precision=_HIGHEST)
         return dc, dp
 
     def cost_at(r, t, points):

@@ -48,7 +48,8 @@ def essential_project(e: jax.Array) -> jax.Array:
     u, s, vt = jnp.linalg.svd(e)
     sm = (s[..., 0] + s[..., 1]) * 0.5
     s_new = jnp.stack([sm, sm, jnp.zeros_like(sm)], -1)
-    return u @ (s_new[..., :, None] * vt)
+    return jnp.matmul(u, s_new[..., :, None] * vt,
+                      precision=_HIGHEST)
 
 
 def eight_point(x1: jax.Array, x2: jax.Array,
@@ -71,9 +72,14 @@ def sampson_distance(e: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     """First-order geometric error of x2^T E x1 = 0: (..., N)."""
     x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], -1)
     x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], -1)
-    ex1 = jnp.einsum("...ij,...nj->...ni", e, x1h)
-    etx2 = jnp.einsum("...ji,...nj->...ni", e, x2h)
-    num = jnp.einsum("...ni,...ni->...n", x2h, ex1) ** 2
+    # HIGHEST throughout: these einsums score/refit RANSAC hypotheses;
+    # unspecified precision lowers to one-pass bf16 on the MXU and the
+    # ~0.4%-grade distance error flips inliers near the threshold
+    # (hardware-measured odometry degradation vs the CPU oracle)
+    ex1 = jnp.einsum("...ij,...nj->...ni", e, x1h, precision=_HIGHEST)
+    etx2 = jnp.einsum("...ji,...nj->...ni", e, x2h, precision=_HIGHEST)
+    num = jnp.einsum("...ni,...ni->...n", x2h, ex1,
+                     precision=_HIGHEST) ** 2
     den = (ex1[..., 0] ** 2 + ex1[..., 1] ** 2
            + etx2[..., 0] ** 2 + etx2[..., 1] ** 2)
     return num / (den + 1e-12)
@@ -127,8 +133,10 @@ def decompose_essential(e: jax.Array):
     u = u * jnp.sign(jnp.linalg.det(u))
     vt = vt * jnp.sign(jnp.linalg.det(vt))
     w = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
-    r1 = u @ w @ vt
-    r2 = u @ w.T @ vt
+    r1 = jnp.matmul(jnp.matmul(u, w, precision=_HIGHEST), vt,
+                    precision=_HIGHEST)
+    r2 = jnp.matmul(jnp.matmul(u, w.T, precision=_HIGHEST), vt,
+                    precision=_HIGHEST)
     t = u[:, 2]
     rs = jnp.stack([r1, r1, r2, r2])
     ts = jnp.stack([t, -t, t, -t])
@@ -150,7 +158,8 @@ def recover_pose(e: jax.Array, x1: jax.Array, x2: jax.Array,
     def score(r, t):
         pts = triangulate_points(r, t, x1, x2)
         z1 = pts[:, 2]
-        z2 = (jnp.einsum("ij,nj->ni", r, pts) + t)[:, 2]
+        z2 = (jnp.einsum("ij,nj->ni", r, pts,
+                         precision=_HIGHEST) + t)[:, 2]
         good = (z1 > 0) & (z2 > 0) & mask
         return jnp.sum(good), pts
 

@@ -30,7 +30,11 @@ def triangulate_points(r: jax.Array, t: jax.Array,
     # solve A [X; 1] = 0 in least squares: split A = [B | b]
     b_mat = a[:, :, :3]
     b_vec = -a[:, :, 3]
-    ata = jnp.einsum("nij,nik->njk", b_mat, b_mat)
-    atb = jnp.einsum("nij,ni->nj", b_mat, b_vec)
+    # true-f32 normal equations: triangulated depths feed monocular scale
+    # propagation; one-pass-bf16 products here drift the whole scale chain
+    ata = jnp.einsum("nij,nik->njk", b_mat, b_mat,
+                     precision=jax.lax.Precision.HIGHEST)
+    atb = jnp.einsum("nij,ni->nj", b_mat, b_vec,
+                     precision=jax.lax.Precision.HIGHEST)
     ata = ata + 1e-10 * jnp.eye(3)
     return jnp.linalg.solve(ata, atb[..., None])[..., 0]

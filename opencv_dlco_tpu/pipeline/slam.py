@@ -459,8 +459,16 @@ def run_odometry(frames, intrinsics, model: VGGDescriptor,
     if cfg.auto_stride:
         meds = [float(np.median(est.points3d[:, 2]))
                 for est in pairs if est.points3d.shape[0] >= 8]
+        # the node floor must not force stride 1 on a short low-parallax
+        # sequence (the consecutive chain's translation directions are
+        # exactly what the backbone exists to fix): cap the floor at half
+        # the frames so stride 2 stays reachable whenever parallax asks —
+        # but keep >= 16 nodes, below which the back end (loop retrieval,
+        # windowed BA) has too little graph to work with and very short
+        # sequences are better served by the consecutive chain
+        min_nodes = max(16, min(cfg.min_backbone_nodes, n_frames // 2))
         stride_cap = max(1, min(cfg.max_stride, (n_frames - 1) // 2,
-                                n_frames // max(cfg.min_backbone_nodes, 1)))
+                                n_frames // min_nodes))
         if meds:
             med_depth = float(np.median(meds))
             stride = int(np.clip(np.ceil(med_depth * cfg.target_parallax),
@@ -816,6 +824,16 @@ def windowed_ba(result: SlamResult, feats, intrinsics, cfg: SlamConfig,
     pose-graph solve — the local-BA + pose-graph split of modern monocular
     systems, and it maps onto the sharded MVBA unchanged (the landmark
     shard axis is free to grow with window size).
+
+    Measured caveat (round 3): on LOW-PARALLAX consecutive frames the
+    window BA converges to sub-pixel reprojection yet its relative
+    translation DIRECTIONS are no better than the two-view estimates —
+    the direction is weakly observable at those baselines, so replacement
+    can degrade the chain (48-frame study: override direction error p90
+    47 deg vs two-view 29 deg). The fix lives upstream: run_odometry's
+    scale backbone routes low-parallax sequences to strided node pairs
+    (min_backbone_nodes floor capped at n_frames/2), so this function
+    sees wide-baseline trajectories where BA directions are observable.
     """
     fx, fy, cx, cy = intrinsics
     n_frames = result.rotations.shape[0]

@@ -48,8 +48,8 @@ def essential_project(e: jax.Array) -> jax.Array:
     u, s, vt = jnp.linalg.svd(e)
     sm = (s[..., 0] + s[..., 1]) * 0.5
     s_new = jnp.stack([sm, sm, jnp.zeros_like(sm)], -1)
-    return jnp.matmul(u, s_new[..., :, None] * vt,
-                      precision=_HIGHEST)
+    return jnp.sum(u[..., :, :, None] * (s_new[..., :, None] * vt)[..., None, :, :],
+                   axis=-2)
 
 
 def eight_point(x1: jax.Array, x2: jax.Array,
@@ -72,14 +72,18 @@ def sampson_distance(e: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     """First-order geometric error of x2^T E x1 = 0: (..., N)."""
     x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], -1)
     x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], -1)
-    # HIGHEST throughout: these einsums score/refit RANSAC hypotheses;
-    # unspecified precision lowers to one-pass bf16 on the MXU and the
-    # ~0.4%-grade distance error flips inliers near the threshold
-    # (hardware-measured odometry degradation vs the CPU oracle)
-    ex1 = jnp.einsum("...ij,...nj->...ni", e, x1h, precision=_HIGHEST)
-    etx2 = jnp.einsum("...ji,...nj->...ni", e, x2h, precision=_HIGHEST)
-    num = jnp.einsum("...ni,...ni->...n", x2h, ex1,
-                     precision=_HIGHEST) ** 2
+    # True-f32 scoring via explicit broadcast-multiply-sum: with einsum,
+    # unspecified precision lowers these 3-wide contractions to one-pass
+    # bf16 on the MXU and the ~0.4%-grade distance error flips RANSAC
+    # inliers near the threshold (hardware-measured odometry degradation
+    # vs the CPU oracle); requesting HIGHEST instead expands every tiny
+    # contraction into 6-pass MXU programs (pathological compile times in
+    # the vmapped hypothesis scorer). Elementwise ops run true-f32 on the
+    # VPU — exact AND fast at contraction width 3.
+    ex1 = jnp.sum(e[..., None, :, :] * x1h[..., None, :], -1)
+    etx2 = jnp.sum(jnp.swapaxes(e, -1, -2)[..., None, :, :]
+                   * x2h[..., None, :], -1)
+    num = jnp.sum(x2h * ex1, -1) ** 2
     den = (ex1[..., 0] ** 2 + ex1[..., 1] ** 2
            + etx2[..., 0] ** 2 + etx2[..., 1] ** 2)
     return num / (den + 1e-12)
@@ -133,10 +137,11 @@ def decompose_essential(e: jax.Array):
     u = u * jnp.sign(jnp.linalg.det(u))
     vt = vt * jnp.sign(jnp.linalg.det(vt))
     w = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
-    r1 = jnp.matmul(jnp.matmul(u, w, precision=_HIGHEST), vt,
-                    precision=_HIGHEST)
-    r2 = jnp.matmul(jnp.matmul(u, w.T, precision=_HIGHEST), vt,
-                    precision=_HIGHEST)
+    def mm3(a, b):   # 3x3 true-f32 product on the VPU
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    r1 = mm3(mm3(u, w), vt)
+    r2 = mm3(mm3(u, w.T), vt)
     t = u[:, 2]
     rs = jnp.stack([r1, r1, r2, r2])
     ts = jnp.stack([t, -t, t, -t])
@@ -158,8 +163,7 @@ def recover_pose(e: jax.Array, x1: jax.Array, x2: jax.Array,
     def score(r, t):
         pts = triangulate_points(r, t, x1, x2)
         z1 = pts[:, 2]
-        z2 = (jnp.einsum("ij,nj->ni", r, pts,
-                         precision=_HIGHEST) + t)[:, 2]
+        z2 = jnp.sum(r[2] * pts, -1) + t[2]
         good = (z1 > 0) & (z2 > 0) & mask
         return jnp.sum(good), pts
 

@@ -30,11 +30,12 @@ def triangulate_points(r: jax.Array, t: jax.Array,
     # solve A [X; 1] = 0 in least squares: split A = [B | b]
     b_mat = a[:, :, :3]
     b_vec = -a[:, :, 3]
-    # true-f32 normal equations: triangulated depths feed monocular scale
-    # propagation; one-pass-bf16 products here drift the whole scale chain
-    ata = jnp.einsum("nij,nik->njk", b_mat, b_mat,
-                     precision=jax.lax.Precision.HIGHEST)
-    atb = jnp.einsum("nij,ni->nj", b_mat, b_vec,
-                     precision=jax.lax.Precision.HIGHEST)
+    # true-f32 normal equations via explicit broadcast-sum (VPU, exact):
+    # triangulated depths feed monocular scale propagation; einsum's
+    # one-pass-bf16 MXU lowering drifts the whole scale chain, and a
+    # HIGHEST request expands to 6-pass programs with pathological compile
+    # times inside the vmapped callers
+    ata = jnp.sum(b_mat[:, :, :, None] * b_mat[:, :, None, :], axis=1)
+    atb = jnp.sum(b_mat * b_vec[:, :, None], axis=1)
     ata = ata + 1e-10 * jnp.eye(3)
     return jnp.linalg.solve(ata, atb[..., None])[..., 0]

@@ -516,6 +516,52 @@ def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
     return out
 
 
+def bench_pj_sweep(n_feat=544, n_rows=50_000, batch=200, steps=20,
+                   mus=(1e-5, 1e-4, 1e-3, 3e-3, 1e-2),
+                   gammas=(0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)):
+    """The reference's FULL 45-combo PJ grid (workspace/08-pjlearn.sh:10-14,
+    5 mu x 9 gamma) as one vmapped program — the sweep-level measurement the
+    per-run bench_pj_rda numbers compose into.
+
+    Modes: "exact" batches the 45 per-step eigendecompositions into one
+    (45, 544, 544) eigh; "psd_ns" replaces them with Newton-Schulz PSD
+    projections (pure MXU matmuls) and pays ONE batched eigh per chunk
+    boundary — the throughput mode for grids (quality-gated per-combo vs
+    exact in tests/test_sweep.py::test_pj_sweep_psd_ns_matches_exact).
+    Effective iters/s counts every grid entry; baseline is the reference's
+    13 it/s x 1 sequential process.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pj_rda import pj_init_batch, pj_train_chunk_batch
+
+    combos = [(m, g) for m in mus for g in gammas]
+    s = len(combos)
+    mu_v = jnp.asarray([c[0] for c in combos], jnp.float32)
+    ga_v = jnp.asarray([c[1] for c in combos], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    kp, kn = jax.random.split(key)
+    pos = 0.3 * jax.random.normal(kp, (n_rows, n_feat), jnp.float32)
+    neg = 1.0 * jax.random.normal(kn, (n_rows, n_feat), jnp.float32)
+    keys = jax.random.split(key, s)
+    out = {"n_sweep": s, "n_feat": n_feat, "batch": batch, "steps": steps}
+    for mode in ("exact", "psd_ns"):
+        states = pj_init_batch(n_feat, s)
+        dt = _timeit(
+            lambda m=mode, st=states: pj_train_chunk_batch(
+                pos, neg, mu_v, ga_v, st, keys,
+                batch=batch, n_steps=steps, eigh_mode=m),
+            warmup=1, iters=3)
+        eff = s * steps / dt
+        out[f"{mode}_iters_per_sec"] = eff
+        out[f"{mode}_step_time"] = dt
+        out[f"{mode}_vs_baseline"] = eff / BASELINE_PJ_ITERS_PER_SEC
+    out["psd_ns_speedup"] = (out["psd_ns_iters_per_sec"]
+                             / out["exact_iters_per_sec"])
+    return out
+
+
 def bench_matching(n_query=65_536, n_train=65_536, dims=(64, 128),
                    block=4096):
     """Batched kNN descriptor matching throughput (BASELINE.json config 3:
@@ -653,6 +699,8 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["stage3"] = bench_stage3()
     if suite in ("all", "pj"):
         details["pj_rda"] = bench_pj_rda()
+    if suite in ("all", "pj"):
+        details["pj_sweep"] = bench_pj_sweep()
     if suite in ("all", "brown"):
         details["brown_scale"] = bench_brown_scale()
     if suite in ("all", "precision"):

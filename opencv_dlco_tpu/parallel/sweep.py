@@ -18,6 +18,13 @@ positions into a sidecar `*-sweep-ckpt.h5` every log period and resume
 from it bit-identically — the whole-grid analogue of the reference's
 per-run log-grep resume (04-prlearn.sh:17-22, 08-pjlearn.sh:18-21): an
 interrupted grid loses at most one log period, not the whole sweep.
+
+Multi-process runs (process_count > 1) switch the sidecar to
+utils/checkpoint.ShardedSweepCheckpoint: every process writes its own
+combo-range shard of the stacked state to its own file (double-buffered
+slots; no primary-writer IO funnel) and every process resumes from the
+assembled newest common wave — exercised for real by the 2-OS-process
+test (tests/test_distributed_procs.py interrupts and resumes the sweep).
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ from ..models.select import (
 )
 from ..utils.checkpoint import (
     RunInterrupted,
+    ShardedSweepCheckpoint,
     load_solver_state,
     save_solver_state,
 )
@@ -129,11 +137,24 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
     ckpt_path = ws.path("pr-learn", f"{ds}-sweep-ckpt.h5")
     done_logs = 0
     resume = None
-    # only the primary resumes: non-primary results are write-discarded, so
-    # skipping their resume costs nothing and avoids reading an HDF5 file
-    # the primary holds open for append (the sweep's compute is
-    # process-local — no collectives — so divergent log counts are safe)
-    if primary and os.path.exists(ckpt_path):
+    # multi-process runs checkpoint SHARDED: every process writes its own
+    # combo-range shard to its own file (no primary-writer IO funnel) and
+    # every process resumes from the assembled common wave
+    sck = None
+    if jax.process_count() > 1:
+        sck = ShardedSweepCheckpoint(
+            ws.path("pr-learn", f"{ds}-sweep-ckpt"),
+            jax.process_index(), jax.process_count(), s)
+        loaded = sck.load(PRState, signature)
+        if loaded is not None:
+            st_l, key_l, arrs, done_logs = loaded
+            resume = (st_l, key_l)
+            best_obj = jnp.asarray(arrs["best_obj"])
+            best_w = jnp.asarray(arrs["best_w"])
+            row_counts = np.asarray(arrs["row_counts"])
+    elif primary and os.path.exists(ckpt_path):
+        # single-process path keeps the one-file sidecar (the layout the
+        # reference's resume contract and the golden resume tests pin)
         with ArtifactStore(ckpt_path, "r") as ck:
             if ck.get_meta("signature") == signature:
                 resume = load_solver_state(ck, PRState)
@@ -197,14 +218,22 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                 t=int(state.t), improved=int(imp_idx.size),
                 med_obj=float(jnp.median(obj)),
             )
-            with writer_store(ckpt_path, "a") as ck:
-                save_solver_state(ck, state, key,
-                                  extra={"completed_logs": li + 1},
-                                  compression=0)
-                ck.write("best_obj", np.asarray(best_obj), compression=0)
-                ck.write("best_w", np.asarray(best_w), compression=0)
-                ck.write("row_counts", row_counts, compression=0)
-                ck.set_meta("signature", signature)
+            if sck is not None:
+                sck.save(state, key,
+                         {"best_obj": np.asarray(best_obj),
+                          "best_w": np.asarray(best_w),
+                          "row_counts": row_counts},
+                         signature, li + 1)
+            else:
+                with writer_store(ckpt_path, "a") as ck:
+                    save_solver_state(ck, state, key,
+                                      extra={"completed_logs": li + 1},
+                                      compression=0)
+                    ck.write("best_obj", np.asarray(best_obj),
+                             compression=0)
+                    ck.write("best_w", np.asarray(best_w), compression=0)
+                    ck.write("row_counts", row_counts, compression=0)
+                    ck.set_meta("signature", signature)
             if _stop_after_logs is not None and li + 1 >= _stop_after_logs:
                 raise SweepInterrupted(f"stopped after log {li + 1}")
         results = []
@@ -219,7 +248,9 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                                 obj=float(obj_np[si]), nnz=int(nnz_np[si]),
                                 model=stores[c].path))
         results.sort(key=lambda r: r["obj"])
-        if primary and os.path.exists(ckpt_path):
+        if sck is not None:
+            sck.cleanup()
+        elif primary and os.path.exists(ckpt_path):
             os.remove(ckpt_path)
         return results
     finally:
@@ -278,7 +309,19 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
     ckpt_path = ws.path("pj-learn", f"{run_label}-sweep-ckpt.h5")
     done_logs = 0
     resume = None
-    if primary and os.path.exists(ckpt_path):  # see run_pr_sweep note
+    sck = None
+    if jax.process_count() > 1:  # see run_pr_sweep note: sharded sidecars
+        sck = ShardedSweepCheckpoint(
+            ws.path("pj-learn", f"{run_label}-sweep-ckpt"),
+            jax.process_index(), jax.process_count(), s)
+        loaded = sck.load(PJState, signature)
+        if loaded is not None:
+            st_l, key_l, arrs, done_logs = loaded
+            resume = (st_l, key_l)
+            best_obj = jnp.asarray(arrs["best_obj"])
+            best_w = jnp.asarray(arrs["best_w"])
+            best_a = jnp.asarray(arrs["best_a"])
+    elif primary and os.path.exists(ckpt_path):
         with ArtifactStore(ckpt_path, "r") as ck:
             if ck.get_meta("signature") == signature:
                 resume = load_solver_state(ck, PJState)
@@ -314,6 +357,13 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
     t0 = time.perf_counter()
 
     def save_ckpt(li):
+        if sck is not None:
+            sck.save(states, key,
+                     {"best_obj": np.asarray(best_obj),
+                      "best_w": np.asarray(best_w),
+                      "best_a": np.asarray(best_a)},
+                     signature, li + 1)
+            return
         with writer_store(ckpt_path, "a") as ck:
             save_solver_state(ck, states, key,
                               extra={"completed_logs": li + 1},
@@ -370,7 +420,9 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
                                     "auc": stats["auc"],
                                     "fpr95": stats["fpr95"]}))
         results.sort(key=lambda r: r.get("fpr95", np.inf))
-        if primary and os.path.exists(ckpt_path):
+        if sck is not None:
+            sck.cleanup()
+        elif primary and os.path.exists(ckpt_path):
             os.remove(ckpt_path)
         return results
     finally:

@@ -72,10 +72,20 @@ def main() -> None:
     ws = Workspace(ws_root, pool_cfg=PoolRegionConfig(nr=6, nphi=2,
                                                       nsigma=3),
                    pair_block=64, progress=False)
-    results = run_pr_sweep(
-        ws, "sy", PRSweepGrid(mus=(0.005, 0.02), gammas=(0.05,)),
-        PRLearnConfig(n_iter=4000, log_step=2000, batch=128,
-                      max_dim=10_000))
+    grid = PRSweepGrid(mus=(0.005, 0.02), gammas=(0.05,))
+    cfg = PRLearnConfig(n_iter=4000, log_step=2000, batch=128,
+                        max_dim=10_000)
+    # interrupt after one log period, then resume: under process_count > 1
+    # this exercises the SHARDED sidecar (each process saves its own
+    # combo-range shard, both reassemble the common wave) — the final
+    # artifacts must still be identical to the single-process run
+    from opencv_dlco_tpu.parallel.sweep import SweepInterrupted
+
+    try:
+        run_pr_sweep(ws, "sy", grid, cfg, _stop_after_logs=1)
+    except SweepInterrupted:
+        pass
+    results = run_pr_sweep(ws, "sy", grid, cfg)
 
     os.makedirs(outdir, exist_ok=True)
     if is_primary():

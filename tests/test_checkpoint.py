@@ -90,3 +90,59 @@ def test_prlearn_resumes_mid_run(tmp_path):
         t_resumed = int(st.read("solver_state/t")[()])
     # resumed run processed the remaining periods on top of the snapshot
     assert t_resumed > t_full
+
+
+def _mk_state(rng, s=5, f=16, t=7):
+    return PRState(
+        w=jnp.asarray(rng.random((s, f)), jnp.float32),
+        df_avg=jnp.asarray(rng.random((s, f)), jnp.float32),
+        t=jnp.asarray(t, jnp.int32),
+    )
+
+
+def test_sharded_sweep_checkpoint_assembles_common_wave(tmp_path):
+    """Two writers (one process each in production; two instances here)
+    save their combo shards; the loader reassembles the full stacked
+    state, scalars from writer 0, and picks the newest COMMON wave."""
+    from opencv_dlco_tpu.utils.checkpoint import ShardedSweepCheckpoint
+
+    rng = np.random.default_rng(3)
+    sig = {"combos": [[1, 2]], "n": 5}
+    base = str(tmp_path / "ck")
+    state = _mk_state(rng)
+    key = jax.random.PRNGKey(9)
+    arrays = {"best_obj": rng.random(5).astype(np.float32),
+              "row_counts": np.arange(5, dtype=np.int64)}
+    writers = [ShardedSweepCheckpoint(base, p, 2, 5) for p in (0, 1)]
+    # shard ranges tile [0, S) contiguously
+    assert writers[0].lo == 0 and writers[1].hi == 5
+    assert writers[0].hi == writers[1].lo
+    for w in writers:
+        w.save(state, key, arrays, sig, completed_logs=1)
+    got = writers[0].load(PRState, sig)
+    assert got is not None
+    st2, key2, arrs2, wave = got
+    assert wave == 1
+    np.testing.assert_array_equal(np.asarray(st2.w), np.asarray(state.w))
+    np.testing.assert_array_equal(np.asarray(st2.df_avg),
+                                  np.asarray(state.df_avg))
+    assert int(st2.t) == 7
+    np.testing.assert_array_equal(np.asarray(key2), np.asarray(key))
+    np.testing.assert_array_equal(arrs2["best_obj"], arrays["best_obj"])
+    np.testing.assert_array_equal(arrs2["row_counts"], arrays["row_counts"])
+
+    # writer 0 advances to wave 2 (other slot); common wave is still 1
+    state2 = _mk_state(rng, t=8)
+    writers[0].save(state2, key, arrays, sig, completed_logs=2)
+    st3, _, _, wave = writers[1].load(PRState, sig)
+    assert wave == 1
+    assert int(st3.t) == 7
+    # writer 1 catches up; wave 2 becomes common, slot 1 still holds wave 1
+    writers[1].save(state2, key, arrays, sig, completed_logs=2)
+    st4, _, _, wave = writers[0].load(PRState, sig)
+    assert wave == 2 and int(st4.t) == 8
+
+    # signature mismatch or a missing shard file -> no resume
+    assert writers[0].load(PRState, {"other": 1}) is None
+    writers[1].cleanup()
+    assert writers[0].load(PRState, sig) is None

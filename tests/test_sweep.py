@@ -108,6 +108,40 @@ def test_pj_sweep_batched(ws):
     assert fprs == sorted(fprs)
 
 
+def test_pj_sweep_psd_ns_matches_exact(ws):
+    """psd_ns soak on the BATCHED sweep path (round-3 gap: the mode was
+    quality-gated per-run but never through run_pj_sweep's vmapped chunk +
+    artifact writing). Same tiny grid under eigh_mode='exact' vs 'psd_ns':
+    every combo's final FPR95 and learned dim must agree — psd_ns's only
+    trajectory-level effect is NS-approximate violator masks, and the
+    chunk-boundary exact eigh means all written artifacts are true
+    eigendecompositions either way."""
+    from opencv_dlco_tpu.parallel.sweep import run_pj_sweep
+    from opencv_dlco_tpu.utils.configs import (
+        PJLearnConfig,
+        PJSweepGrid,
+        PRLearnConfig,
+    )
+
+    cfg = PRLearnConfig(mu=0.01, gamma=0.1, n_iter=4000, log_step=2000,
+                        batch=128, max_dim=10_000)
+    pr = ws.prlearn("sy", cfg)
+    unproj = ws.compunproj("sy", f"{pr}#-1")
+    grid = PJSweepGrid(mus=(0.001, 0.002), gammas=(0.25, 0.5))
+    results = {}
+    for mode in ("exact", "psd_ns"):
+        base = PJLearnConfig(n_iter=60, log_step=20, batch=64,
+                             eigh_mode=mode)
+        res = run_pj_sweep(ws, unproj, grid, base,
+                           run_label=f"soak-{mode}")
+        results[mode] = {(r["mu"], r["gamma"]): r for r in res}
+    for combo, ex in results["exact"].items():
+        ns = results["psd_ns"][combo]
+        assert abs(ns["fpr95"] - ex["fpr95"]) < 0.05, (combo, ns, ex)
+        assert abs(ns["dim"] - ex["dim"]) <= max(2, 0.2 * ex["dim"]), (
+            combo, ns["dim"], ex["dim"])
+
+
 def _pr_quality(pos, neg, w):
     """FPR95/AUC of a learned w on (pos, neg) — the selection metric.
 

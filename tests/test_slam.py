@@ -422,3 +422,73 @@ def test_slam_long_sequence_ate_and_loop_precision():
             n_correct += 1
     assert n_correct / len(loops) >= 0.75, \
         f"loop edge precision {n_correct}/{len(loops)}"
+
+
+def test_triangle_flip_repair_restores_flipped_edge():
+    """Scale-free triangle repair (opt-in ``odo_redundant`` machinery):
+    a chain edge with a sign-flipped translation (the low-parallax
+    essential-matrix ambiguity) is detected against the stride-2 skip
+    estimate and repaired, with its landmarks re-triangulated from the
+    stored keypoint matches."""
+    from scipy.spatial.transform import Rotation  # noqa: F401 (env check)
+    from opencv_dlco_tpu.pipeline.slam import (PairEstimate, SlamConfig,
+                                               _nn_fit_residual,
+                                               _triangle_flip_repair)
+
+    rng = np.random.default_rng(3)
+    fx = fy = 300.0
+    cx = cy = 128.0
+    intr = np.array([fx, fy, cx, cy])
+    n_pts = 40
+    x0 = np.stack([rng.uniform(-1.5, 1.5, n_pts),
+                   rng.uniform(-1.5, 1.5, n_pts),
+                   rng.uniform(4.0, 8.0, n_pts)], 1)
+
+    def rot_y(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    r1, t1 = rot_y(0.05), np.array([0.4, 0.02, 0.1])
+    r2, t2 = rot_y(0.06), np.array([0.35, -0.03, 0.15])
+    x1 = x0 @ r1.T + t1
+    x2 = x1 @ r2.T + t2
+
+    def project(x):
+        return np.stack([fy * x[:, 1] / x[:, 2] + cy,
+                         fx * x[:, 0] / x[:, 2] + cx], 1)
+
+    feats = [(project(x), None, None) for x in (x0, x1, x2)]
+    idx = np.arange(n_pts)
+    e0 = PairEstimate(rotation=r1, translation=-t1,       # FLIPPED sign
+                      kp_prev_idx=idx.copy(), kp_next_idx=idx.copy(),
+                      points3d=-x0, n_inliers=n_pts)      # junk landmarks
+    e1 = PairEstimate(rotation=r2, translation=t2.copy(),
+                      kp_prev_idx=idx.copy(), kp_next_idx=idx.copy(),
+                      points3d=x1.copy(), n_inliers=n_pts)
+    t_skip = r2 @ t1 + t2
+    skip = PairEstimate(rotation=r2 @ r1,
+                        translation=t_skip / np.linalg.norm(t_skip),
+                        kp_prev_idx=idx.copy(), kp_next_idx=idx.copy(),
+                        points3d=x0.copy(), n_inliers=n_pts)
+
+    cfg = SlamConfig()
+    n = _triangle_flip_repair([e0, e1], [skip], [True], feats,
+                              [0, 1, 2], intr, cfg)
+    assert n == 1
+    # direction restored (sign flipped back)
+    assert np.dot(e0.translation, t1) > 0.9 * np.linalg.norm(t1) ** 2
+    # landmarks re-triangulated: positive depth, close to ground truth
+    assert e0.points3d.shape[0] >= n_pts - 2
+    kept = e0.kp_prev_idx
+    assert np.all(e0.points3d[:, 2] > 0)
+    err = np.linalg.norm(e0.points3d - x0[kept], axis=1)
+    assert np.median(err) < 0.05
+
+    # the consistent edge is untouched
+    assert np.allclose(e1.translation, t2)
+
+    # fit-residual sanity: w == u fits exactly, w == -u cannot
+    u = np.array([1.0, 0, 0])
+    v = np.array([0, 1.0, 0])
+    assert _nn_fit_residual(u, u, v) < 1e-6
+    assert _nn_fit_residual(-u, u, v) > 0.99

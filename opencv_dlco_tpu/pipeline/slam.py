@@ -256,14 +256,26 @@ def _match_pose_chunk(yx_a, d_a, v_a, yx_b, d_b, v_b, intr, keys, *,
     k_pts = yx_a.shape[1]
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
 
-    def match_one(d1, v1, d2, v2):
-        d2m = jnp.where(v2[:, None], d2, -1e6)
-        # HIGHEST here on purpose: these are tiny (K x K) matrices where
-        # the GEMM cost is irrelevant, and pose quality is sensitive to
-        # match identity (bf16-grade distances measurably moved ATE)
-        dists, idx = knn_match(d1, d2m, k=2, block=k_pts,
-                               precision=jax.lax.Precision.HIGHEST)
-        midx, ok = ratio_test(dists, idx, ratio=ratio)
+    # HIGHEST here on purpose: these are tiny (K x K) matrices where the
+    # GEMM cost is irrelevant, and pose quality is sensitive to match
+    # identity (bf16-grade distances measurably moved ATE). On TPU the C
+    # matching problems run as ONE batched fused Pallas program
+    # (ops/knn_pallas.knn2_fused_batched, bf16=False = HIGHEST-exact on
+    # hardware — tests/test_tpu_smoke.py) instead of C vmapped
+    # GEMM+top_k merges; CPU keeps the XLA scan path.
+    d_bm = jnp.where(v_b[..., None], d_b, -1e6)
+    if jax.default_backend() != "cpu":
+        from ..ops.knn_pallas import knn2_fused_batched
+
+        dists, idx = knn2_fused_batched(d_a, d_bm, bf16=False)
+    else:
+        dists, idx = jax.vmap(
+            lambda q, t: knn_match(q, t, k=2, block=k_pts,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   fused=False))(d_a, d_bm)
+
+    def match_one(dists1, idx1, v1):
+        midx, ok = ratio_test(dists1, idx1, ratio=ratio)
         ok = ok & v1
         # compact valid matches to the front (stable: keeps kp order)
         order = jnp.argsort(jnp.logical_not(ok), stable=True)
@@ -271,7 +283,7 @@ def _match_pose_chunk(yx_a, d_a, v_a, yx_b, d_b, v_b, intr, keys, *,
         tgt = jnp.maximum(midx, 0).astype(jnp.int32)[order]
         return src, tgt, jnp.sum(ok).astype(jnp.int32)
 
-    src, tgt, n_ok = jax.vmap(match_one)(d_a, v_a, d_b, v_b)
+    src, tgt, n_ok = jax.vmap(match_one)(dists, idx, v_a)
 
     def take_xy(yx, sel):
         pts = yx[sel]

@@ -7,6 +7,7 @@ re-run compiled on hardware under ``-m tpu_smoke`` (test_tpu_smoke.py).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from opencv_dlco_tpu.ops.knn import knn_match, ratio_test
@@ -62,3 +63,56 @@ def test_knn2_fused_padding_edges():
     assert d_f.shape == (77, 2) and i_f.shape == (77, 2)
     np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_ref))
     assert int(jnp.max(i_f)) < 130
+
+
+def test_knnk_fused_vs_xla_oracle(descs):
+    """General-k kernel (HPatches matching-mAP protocol, k=10) vs the
+    XLA HIGHEST scan path: exact index identity in f32 mode."""
+    from opencv_dlco_tpu.ops.knn_pallas import knnk_fused
+
+    q, t = descs
+    for k in (3, 10):
+        d_ref, i_ref = knn_match(q, t, k=k, block=512, fused=False)
+        d_f, i_f = knnk_fused(q, t, k, interpret=True, bf16=False)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_knn2_fused_batched_matches_vmapped_xla():
+    """Batched kernel (SLAM pose chunk path) vs per-batch XLA oracle."""
+    from opencv_dlco_tpu.ops.knn_pallas import knn2_fused_batched
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(4, 128, 32)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(4, 256, 32)).astype(np.float32))
+    d_f, i_f = knn2_fused_batched(q, t, interpret=True, bf16=False)
+    for b in range(4):
+        d_ref, i_ref = knn_match(q[b], t[b], k=2, block=256, fused=False,
+                                 precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_array_equal(np.asarray(i_f[b]), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d_f[b]), np.asarray(d_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_knn_match_dispatcher_forced_fused(descs):
+    """knn_match(fused=True) must agree with the XLA path for every k it
+    dispatches (k<=2 -> knn2 kernel, 3..16 -> knnk kernel); on CPU the
+    dispatcher runs the kernels in interpret mode."""
+    q, t = descs
+    for k in (1, 2, 5):
+        d_ref, i_ref = knn_match(q, t, k=k, block=512, fused=False)
+        d_f, i_f = knn_match(q, t, k=k, block=512, fused=True,
+                             precision=jax.lax.Precision.HIGHEST)
+        assert d_f.shape == (q.shape[0], k)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_ref))
+
+
+def test_mutual_nearest_fused_matches_xla(descs):
+    from opencv_dlco_tpu.ops.knn import mutual_nearest
+
+    q, t = descs
+    m_ref, ok_ref = mutual_nearest(q, t, block=512, fused=False)
+    m_f, ok_f = mutual_nearest(q, t, block=512, fused=True)
+    np.testing.assert_array_equal(np.asarray(ok_f), np.asarray(ok_ref))
+    np.testing.assert_array_equal(np.asarray(m_f), np.asarray(m_ref))

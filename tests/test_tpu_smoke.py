@@ -169,7 +169,8 @@ def test_knn2_fused_hw():
                         rng.normal(size=(2200, 64)).astype(np.float32)])
     t = jnp.asarray(t[rng.permutation(len(t))].astype(np.float32))
     d_ref, i_ref = knn_match(q, t, k=2, block=512,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=jax.lax.Precision.HIGHEST,
+                             fused=False)
     d_f, i_f = knn2_fused(q, t, bf16=False)
     np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
@@ -179,3 +180,41 @@ def test_knn2_fused_hw():
     m_b, _ = ratio_test(d_b, i_b, ratio=0.9)
     agree = np.mean(np.asarray(m_ref) == np.asarray(m_b))
     assert agree >= 0.99, f"ratio-test match identity {agree:.4f}"
+
+
+def test_knn_dispatch_and_general_k_hw():
+    """The production dispatcher must pick the fused kernels on TPU and
+    agree with the XLA path: knn2 (k<=2), knnk (HPatches k=10), the
+    batched SLAM-chunk kernel, and the fused mutual cross-check."""
+    from opencv_dlco_tpu.ops.knn import knn_match, mutual_nearest
+    from opencv_dlco_tpu.ops.knn_pallas import knn2_fused_batched
+
+    rng = np.random.default_rng(17)
+    centres = rng.normal(size=(600, 64)).astype(np.float32)
+    q = jnp.asarray(centres[:384]
+                    + 0.05 * rng.normal(size=(384, 64)).astype(np.float32))
+    t = jnp.asarray(np.concatenate(
+        [centres, rng.normal(size=(1000, 64)).astype(np.float32)]))
+
+    for k in (2, 10):
+        d_ref, i_ref = knn_match(q, t, k=k, block=512,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 fused=False)
+        d_f, i_f = knn_match(q, t, k=k, block=512,
+                             precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    m_ref, ok_ref = mutual_nearest(q, t, block=512, fused=False)
+    m_f, ok_f = mutual_nearest(q, t, block=512)
+    np.testing.assert_array_equal(np.asarray(m_f), np.asarray(m_ref))
+
+    qb = jnp.asarray(rng.normal(size=(4, 256, 64)).astype(np.float32))
+    tb = jnp.asarray(rng.normal(size=(4, 256, 64)).astype(np.float32))
+    d_b, i_b = knn2_fused_batched(qb, tb, bf16=False)
+    for b in range(4):
+        d_r, i_r = knn_match(qb[b], tb[b], k=2, block=256,
+                             precision=jax.lax.Precision.HIGHEST,
+                             fused=False)
+        np.testing.assert_array_equal(np.asarray(i_b[b]), np.asarray(i_r))

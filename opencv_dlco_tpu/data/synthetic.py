@@ -210,3 +210,65 @@ def synth_patch_pairs(rng: np.random.Generator, n_pairs: int = 256,
     p2 = p2 + rng.normal(0, noise, p2.shape)
     to_u8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
     return to_u8(p1), to_u8(p2), labels
+
+
+#: Calibrated parameters of `brown_like_ring_distances`. Derivation
+#: (round 4, offline calibration sweep): n_info/decay/margin_scale were
+#: fit against TWO properties of the published liberty pr-learn logs
+#: (data/reference_logs.py) — the best-model NNZ row at mu=0.01 across
+#: gamma in {0.005..0.25} and the 10-30% FPR95 band of the real task —
+#: then held fixed; tests/test_pr_log_oracle.py asserts on the REMAINING
+#: grid points (out-of-sample bracketing + monotonicity).
+BROWN_RING_PARAMS = dict(n_feat=1280, n_info=24, decay=-0.4,
+                         margin_scale=4.0, base=3.2, noise=1.4,
+                         hard_sd=0.45, pos_sd=0.2)
+
+
+def brown_like_pr_splits(rng: np.random.Generator, n_train: int,
+                         n_val: int, params: dict = None):
+    """Synthetic stage-3 ring-distance splits statistically shaped like
+    the real Brown training matrices (for the PR-solver convergence
+    oracle): (pos_trn, neg_trn, pos_val, neg_val), each (n, n_feat) f32.
+
+    Structure (reference: src/comp-fulldists.cpp:294-356 produces 5120
+    ring distances per pair; src/pr-learn.cpp trains on them):
+
+    - a power-law tail of informative rings: ring r's matching/
+      non-matching margin is ``margin_scale * (1+r)^decay`` for the
+      ``n_info`` informative rings, 0 elsewhere (one ring permutation
+      shared by all four splits);
+    - a SHARED per-pair hardness factor: both patches of a pair feed
+      every ring, so a hard negative (similar-looking patches) sits near
+      the matching distribution in EVERY informative ring simultaneously
+      — this is what keeps the real task non-separable (FPR95 ~15-20%,
+      pr-result-table.txt) and the hinge violations alive at equilibrium.
+      Positives carry a small |N(0, pos_sd)| off-margin factor (imperfect
+      correspondences).
+
+    Known limitation (documented for the oracle test): real Brown margins
+    have a bimodal gap that makes the published NNZ surface flat in mu
+    across [0.001, 0.06]; an iid power-law tail reproduces the gamma axis
+    (the axis that orders the published surface) but keeps residual mu
+    sensitivity at the decade edges.
+    """
+    p = dict(BROWN_RING_PARAMS)
+    if params:
+        p.update(params)
+    n_feat, n_info = p["n_feat"], p["n_info"]
+    margins = np.zeros(n_feat, np.float32)
+    idx = rng.permutation(n_feat)[:n_info]
+    margins[idx] = (1.0 + np.arange(n_info)) ** p["decay"]
+
+    def draw(n_rows, is_neg):
+        if is_neg:
+            s = np.clip(rng.normal(1.0, p["hard_sd"], (n_rows, 1)),
+                        0.0, None).astype(np.float32)
+        else:
+            s = np.abs(rng.normal(0.0, p["pos_sd"],
+                                  (n_rows, 1))).astype(np.float32)
+        d = rng.normal(p["base"], p["noise"],
+                       size=(n_rows, n_feat)).astype(np.float32)
+        return np.abs(d + margins * (p["margin_scale"] * s))
+
+    return (draw(n_train, False), draw(n_train, True),
+            draw(n_val, False), draw(n_val, True))

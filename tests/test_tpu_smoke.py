@@ -218,3 +218,31 @@ def test_knn_dispatch_and_general_k_hw():
                              precision=jax.lax.Precision.HIGHEST,
                              fused=False)
         np.testing.assert_array_equal(np.asarray(i_b[b]), np.asarray(i_r))
+
+
+def test_slam_short_row_meets_bar_hw():
+    """The 48-frame flagship SLAM row must meet its 0.10x-span ATE bar ON
+    THE CHIP at default config (VERDICT r3 next #1 'Done' criterion; the
+    committed bench artifact is produced on the same backend)."""
+    from opencv_dlco_tpu.data.synthetic import render_blob_sequence
+    from opencv_dlco_tpu.models.vgg import VGGDescriptor
+    from opencv_dlco_tpu.pipeline.slam import (SlamConfig, ate_rmse,
+                                               compute_features,
+                                               run_back_end, run_odometry)
+
+    header = "/root/reference/workspace/opencv/vgg_generated_64.i"
+    if not os.path.exists(header):
+        pytest.skip("reference VGG header not mounted")
+    with open(header) as fh:
+        model = VGGDescriptor.from_header(fh.read())
+    rng = np.random.default_rng(2215)
+    frames, centers_gt, intr = render_blob_sequence(rng, 48, size=256)
+    cfg = SlamConfig(n_keypoints=256, kf_min_translation=2.5,
+                     kf_min_rotation=0.05, loop_gap=10)   # the bench row
+    assert cfg.odo_redundant, "redundant odometry must be the default"
+    feats = compute_features(frames, model, cfg)
+    odo = run_odometry(frames, intr, model, cfg, feats=feats)
+    refined = run_back_end(odo, feats, intr, cfg)
+    span = float(np.linalg.norm(centers_gt.max(0) - centers_gt.min(0)))
+    ate_ref = ate_rmse(refined.translations, centers_gt) / span
+    assert ate_ref < 0.10, f"48-frame chip ATE {ate_ref:.4f} >= 0.10x span"

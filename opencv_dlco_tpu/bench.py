@@ -29,6 +29,7 @@ BASELINE_PR_VALIDATE_SEC = 0.055
 BASELINE_PJ_ITERS_PER_SEC = 100 / 7.7
 BASELINE_STAGE3_PAIRS_PER_SEC = None  # reference total not published
 PEAK_BF16_FLOPS = 197e12  # TPU v5e bf16 peak (MFU denominator)
+HBM_BW = 819e9            # TPU v5e HBM bandwidth (roofline floors)
 
 
 def _fetch(out):
@@ -145,15 +146,23 @@ def bench_pr_sweep_brown(n_feat=5120, n_rows=200_000, batch=2048, steps=32,
     flops_per_call = 4.0 * batch * n_feat * n_sweep * steps
     out = dict(n_rows=n_rows, n_sweep=n_sweep, batch=batch, steps=steps,
                resident_gib=2 * n_rows * n_feat * 2 / 1024**3)
-    for label, samp, prec in (
-            ("tuned", "block", jax.lax.Precision.DEFAULT),
-            ("fused_wide_bf16", "block_fused", None)):
-        if samp == "block_fused" and jax.default_backend() != "tpu":
+    from .ops.fused_rda import fused_block_train_wide
+
+    def run_tuned():
+        return pr_train_chunk(pos, neg, mus, gammas, state, key,
+                              batch=batch, n_steps=steps, sampling="block",
+                              precision=jax.lax.Precision.DEFAULT)
+
+    def run_fused():
+        # direct kernel call — no silent XLA fallback (see bench_pr_sweep)
+        return fused_block_train_wide(
+            pos, neg, state.w, state.df_avg, state.t, mus, gammas, key,
+            batch=batch, n_steps=steps, tile_b=128)
+
+    for label, fn in (("tuned", run_tuned), ("fused_wide_bf16", run_fused)):
+        if fn is run_fused and jax.default_backend() != "tpu":
             continue
-        kw = {} if prec is None else {"precision": prec}
-        dt = _timeit(lambda samp=samp, kw=kw: pr_train_chunk(
-            pos, neg, mus, gammas, state, key, batch=batch,
-            n_steps=steps, sampling=samp, **kw))
+        dt = _timeit(fn)
         eff = batch * steps * n_sweep / dt
         out.update({
             f"{label}_samples_per_sec": eff,
@@ -181,11 +190,21 @@ def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=2048, steps=32,
     and bench_precision_fpr95's end-metric delta on the hard pairs.
 
     MFU accounting: the step's useful flops are the two (B,F)x(F,S)
-    matmuls = 4*B*F*S per step, denominated in bf16 peak. The step is
-    bandwidth-bound by design at S=256 (arithmetic intensity
-    2S flop/byte at f32), so the roofline cap is
-    min(1, 2S * BW / (dtype_bytes * PEAK)); the fused kernel's target is
-    that cap, not 100% MFU."""
+    matmuls = 4*B*F*S per step, denominated in bf16 peak; arithmetic
+    intensity is 2S/itemsize flop/byte, so at S=256 bf16 the HBM/MXU
+    roofline cap is ~100% MFU. Measured decomposition (round 4, real
+    kernel at S=256, F=5120, bf16 — round 3's "fused" rows were the XLA
+    fallback, see fused_rda.WIDE_KERNEL_VMEM_LIMIT): chunk time is
+    S-INDEPENDENT (6.4 ms at S=64 = 6.6 ms at S=256), i.e. the kernel is
+    not MXU-bound; it sits ~4x over the 2BF HBM floor (1.6 ms/chunk) and
+    ~2x better per tile at tile_b=128 than 64, giving a fixed ~10 us
+    per-(128, 5120)-tile overhead (DMA issue + grid step) as the true
+    bound. Amortising it further needs >14.6 MB of VMEM (tile_b=256
+    does not fit next to the two (S, F) residents), so the committed
+    fused MFU (~0.26 at Brown residency, ~1.3x the tuned XLA path) is
+    the VMEM-feasible operating point, not the paper roofline. The
+    artifact carries hbm_floor and mxu_floor fields so the gap stays
+    measured rather than asserted."""
     import jax
     import jax.numpy as jnp
 
@@ -226,18 +245,34 @@ def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=2048, steps=32,
             tuned_vs_baseline=eff_t / BASELINE_PR_SAMPLES_PER_SEC,
             tuned_mfu=mfu(dt_t),
             tuned_config="bf16-resident splits + DEFAULT-precision matmuls")
-        # wide-S fused kernel: the whole grid VMEM-resident
+        # wide-S fused kernel, called DIRECTLY (no silent XLA fallback —
+        # round 3's "fused" rows at S=256 were actually the fallback; a
+        # size that does not fit VMEM is now recorded as such)
+        from .ops.fused_rda import (WIDE_KERNEL_VMEM_LIMIT,
+                                    fused_block_train_wide,
+                                    wide_kernel_vmem_bytes)
+
         for label, (p, n) in (("fused_wide", (pos, neg)),
                               ("fused_wide_bf16", (pos16, neg16))):
-            dt_f = _timeit(lambda p=p, n=n: pr_train_chunk(
-                p, n, mus, gammas, state, key, batch=batch,
-                n_steps=steps, sampling="block_fused"))
+            if wide_kernel_vmem_bytes(n_sweep, n_feat, 128,
+                                      p.dtype.itemsize) \
+                    > WIDE_KERNEL_VMEM_LIMIT:
+                out[f"{label}_fits_vmem"] = False
+                continue
+            dt_f = _timeit(lambda p=p, n=n: fused_block_train_wide(
+                p, n, state.w, state.df_avg, state.t, mus, gammas, key,
+                batch=batch, n_steps=steps, tile_b=128))
             eff_f = batch * steps * n_sweep / dt_f
             out.update({
                 f"{label}_samples_per_sec": eff_f,
                 f"{label}_step_time": dt_f,
                 f"{label}_vs_baseline": eff_f / BASELINE_PR_SAMPLES_PER_SEC,
                 f"{label}_mfu": mfu(dt_f),
+                # measured floors for the roofline decomposition (see
+                # docstring): 2BF of HBM traffic / the two matmuls
+                f"{label}_hbm_floor": (2 * batch * n_feat
+                                       * p.dtype.itemsize * steps / HBM_BW),
+                f"{label}_mxu_floor": flops_per_call / PEAK_BF16_FLOPS,
             })
     return out
 
@@ -516,6 +551,116 @@ def bench_pj_rda(n_feat=544, n_rows=50_000, batch=200, steps=20):
     return out
 
 
+def bench_pj_soak(n_rows=50_000, n_iter=50_000, log_step=500,
+                  exact_mus=(0.0001, 0.0010, 0.0030),
+                  exact_gammas=(0.025, 0.200, 1.000),
+                  grid_mus=None, grid_gammas=None):
+    """Reference-scale psd_ns soak (VERDICT r3 next #5): the FULL 45-combo
+    PJ grid (workspace/08-pjlearn.sh) at 544-D for the reference's FULL
+    50k-iteration budget, through the production sweep driver
+    (parallel/sweep.run_pj_sweep — tracking, checkpoints, artifact
+    writes), on difference vectors carrying a SHIPPED liberty model's
+    discriminative spectrum (the test_golden_sweep rank-trajectory
+    construction). ``exact`` reference semantics run the same full budget
+    on a 9-combo subgrid spanning the grid corners + centre (the full
+    45-combo exact grid is ~7 h of chip time — measured, see pj_sweep);
+    per-combo rank/FPR95/AUC deltas on the shared combos are the
+    committed quality evidence that lets psd_ns be the grid default.
+    """
+    import shutil
+    import tempfile
+
+    import h5py
+    import jax
+
+    from .data.store import ArtifactStore
+    from .parallel.sweep import run_pj_sweep
+    from .pipeline.stages import Workspace
+    from .utils.configs import PJLearnConfig, PJSweepGrid
+
+    shipped = ("/root/reference/workspace/pj-learn/"
+               "liberty-liberty-0.035-0.250-pr#7-0.0010-0.500-pj.h5")
+    if not os.path.exists(shipped):
+        return {"skipped": "reference PJ model not mounted"}
+    with h5py.File(shipped) as f:
+        a_ref = f["A"][:].astype(np.float64)
+    lam, v = np.linalg.eigh(a_ref)
+    lam = np.maximum(lam, 0.0)
+    f_dim = a_ref.shape[0]
+    rng = np.random.default_rng(2215)
+    n_side = n_rows // 2
+    # NON-SEPARABLE planting (the r3 'saturated oracle' rule — an FPR95
+    # delta of 0-vs-0 proves nothing): positives carry a fraction of the
+    # discriminative energy and both sides get a shared per-pair hardness
+    # scalar, calibrated so the SHIPPED metric scores FPR95 ~ 6% on this
+    # distribution (the published PJ band is 3.7-13%,
+    # workspace/pj-result-table.txt)
+    frac, sd = 0.4, 0.25
+    s_pos = np.abs(rng.normal(frac, sd * frac, (n_side, 1)))
+    s_neg = np.abs(rng.normal(1.0, sd, (n_side, 1)))
+    spec = np.sqrt(lam)[None, :]
+    pos = (0.05 * rng.normal(size=(n_side, f_dim))
+           + s_pos * (rng.normal(size=(n_side, f_dim)) * spec) @ v.T)
+    neg = (0.05 * rng.normal(size=(n_side, f_dim))
+           + s_neg * (rng.normal(size=(n_side, f_dim)) * spec) @ v.T)
+    dists = np.concatenate([pos, neg]).astype(np.float32)
+    labels = np.concatenate([np.ones(n_side, np.int32),
+                             np.zeros(n_side, np.int32)])
+
+    tmp = tempfile.mkdtemp(prefix="dlco_pj_soak_")
+    out = {"n_iter": n_iter, "n_feat": f_dim, "n_rows": n_rows,
+           "log_step": log_step}
+    try:
+        ws = Workspace(root=tmp, progress=False)
+        unproj = ws.path("unproj", "soak-unproj.h5")
+        with ArtifactStore(unproj, "w") as st:
+            st.write("Label", labels)
+            st.write("Distance", dists, compression=0)
+
+        runs = {}
+        grid_full = PJSweepGrid() if grid_mus is None else PJSweepGrid(
+            mus=grid_mus, gammas=grid_gammas)
+        grid_sub = PJSweepGrid(mus=exact_mus, gammas=exact_gammas)
+        for mode, grid in (("psd_ns", grid_full), ("exact", grid_sub)):
+            base = PJLearnConfig(n_iter=n_iter, log_step=log_step,
+                                 eigh_mode=mode)
+            t0 = time.perf_counter()
+            res = run_pj_sweep(ws, unproj, grid, base,
+                               run_label=f"soak-{mode}", ckpt_every=50)
+            dt = time.perf_counter() - t0
+            n_combo = len(grid.mus) * len(grid.gammas)
+            runs[mode] = {(r["mu"], r["gamma"]): r for r in res}
+            out[f"{mode}_n_combos"] = n_combo
+            out[f"{mode}_wall_time"] = dt
+            out[f"{mode}_iters_per_sec"] = n_combo * n_iter / dt
+            out[f"{mode}_vs_baseline"] = (n_combo * n_iter / dt
+                                          / BASELINE_PJ_ITERS_PER_SEC)
+
+        combos, d_rank, d_fpr, d_auc = [], [], [], []
+        for k, ex in runs["exact"].items():
+            ns = runs["psd_ns"][k]
+            combos.append({
+                "mu": k[0], "gamma": k[1],
+                "rank_exact": ex["dim"], "rank_psd_ns": ns["dim"],
+                "fpr95_exact": ex["fpr95"], "fpr95_psd_ns": ns["fpr95"],
+                "auc_exact": ex["auc"], "auc_psd_ns": ns["auc"],
+            })
+            d_rank.append(abs(ns["dim"] - ex["dim"])
+                          / max(ex["dim"], 1))
+            d_fpr.append(abs(ns["fpr95"] - ex["fpr95"]))
+            d_auc.append(abs(ns["auc"] - ex["auc"]))
+        out["combos"] = combos
+        out["psd_ns_ranks_full_grid"] = [
+            runs["psd_ns"][k]["dim"] for k in sorted(runs["psd_ns"])]
+        out["max_rank_rel_delta"] = max(d_rank)
+        out["max_fpr95_delta_pp"] = 100 * max(d_fpr)
+        out["mean_fpr95_delta_pp"] = 100 * float(np.mean(d_fpr))
+        out["max_auc_delta"] = max(d_auc)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def bench_pj_sweep(n_feat=544, n_rows=50_000, batch=200, steps=20,
                    mus=(1e-5, 1e-4, 1e-3, 3e-3, 1e-2),
                    gammas=(0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)):
@@ -714,6 +859,10 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
         details["pj_rda"] = bench_pj_rda()
     if suite in ("all", "pj"):
         details["pj_sweep"] = bench_pj_sweep()
+    if suite == "pj_soak":
+        # reference-budget soak (~1 h of chip: full-50k psd_ns grid +
+        # exact subgrid) — run explicitly, not part of "all"
+        details["pj_soak"] = bench_pj_soak()
     if suite in ("all", "brown"):
         details["brown_scale"] = bench_brown_scale()
     if suite in ("all", "precision"):
@@ -754,13 +903,20 @@ def run(suite: str = "headline", out_path: str = "bench_details.json"):
     # single-run number if the sweep suite didn't run.
     if "pr_sweep" in details:
         src = details["pr_sweep"]
+        # best production-wired sweep path (pr_train_chunk dispatches all
+        # of them): fused wide kernel > tuned XLA > reference-numerics
+        candidates = [
+            (src.get("fused_wide_bf16_samples_per_sec"),
+             src.get("fused_wide_bf16_vs_baseline")),
+            (src.get("tuned_samples_per_sec"), src.get("tuned_vs_baseline")),
+            (src["effective_samples_per_sec"], src["vs_baseline"]),
+        ]
+        best = max(c for c in candidates if c[0] is not None)
         line = {
             "metric": "pr_sweep_samples_per_sec",
-            "value": round(src.get("tuned_samples_per_sec",
-                                   src["effective_samples_per_sec"]), 1),
+            "value": round(best[0], 1),
             "unit": "samples/s",
-            "vs_baseline": round(src.get("tuned_vs_baseline",
-                                         src["vs_baseline"]), 2),
+            "vs_baseline": round(best[1], 2),
         }
     else:
         headline = details.get("pr_rda", {})

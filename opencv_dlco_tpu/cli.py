@@ -304,13 +304,16 @@ def main(argv=None):
     sp.add_argument("--iters", type=int, default=50_000)
     sp.add_argument("--log-step", type=int, default=100)
     sp.add_argument("--batch", type=int, default=200)
-    sp.add_argument("--eigh-mode", default="exact",
+    sp.add_argument("--eigh-mode", default="psd_ns",
                     choices=["exact", "subspace", "psd_ns"],
-                    help="exact = reference semantics (per-step batched "
-                         "eigh); psd_ns = grid throughput mode "
-                         "(Newton-Schulz PSD projection, ~8x faster at "
-                         "the full 45-combo grid, per-combo quality "
-                         "gated vs exact in tests)")
+                    help="psd_ns (default for GRIDS since round 4's "
+                         "full-50k-iteration 45-combo soak, bench "
+                         "pj_soak: per-combo rank/FPR95/AUC parity vs "
+                         "exact at the reference budget, ~8x faster) = "
+                         "Newton-Schulz PSD projection with exact eigh "
+                         "at log boundaries; exact = reference "
+                         "semantics (per-step batched eigh — the "
+                         "single-run default)")
     sp.set_defaults(fn=cmd_pjsweep)
 
     sp = sub.add_parser("sfm", help="two-view SfM on an image pair")

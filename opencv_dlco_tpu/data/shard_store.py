@@ -117,6 +117,11 @@ class ShardedArrayStore:
         h = self._handle(name)
         rows = int(h.chunk_layout.read_chunk.shape[0])
         n = arr.shape[0]
+        if n == 0:
+            # empty shard (more writers than chunks): nothing to write and
+            # a clamped start (shard_rows) may sit mid-chunk — not an
+            # alignment violation, since no chunk file is touched
+            return
         if start % rows:
             raise ValueError(
                 f"write start {start} not aligned to chunk_rows {rows}")

@@ -135,12 +135,17 @@ def pr_train_chunk(pos_trn: jax.Array, neg_trn: jax.Array,
                 gamma, key, batch=batch, n_steps=n_steps, tile_b=tile_b,
                 interpret=jax.default_backend() != "tpu")
             return PRState(w=w, df_avg=df_avg, t=t)
-        # wide sweep axis: w + df resident in VMEM, g folded into df —
-        # only engage when the residents + streaming tiles fit
-        # (ops/fused_rda.fused_block_train_wide); VERDICT r2 next #5
-        resident = s_axis * f_dim * (pos_trn.dtype.itemsize + 4)
-        tiles = 4 * tile_b * f_dim * pos_trn.dtype.itemsize
-        if resident + tiles <= 12 * 2 ** 20:
+        # wide sweep axis: w + df resident in VMEM, g folded into df in
+        # F-chunks — engage when the planned footprint fits
+        # (ops/fused_rda.wide_kernel_vmem_bytes; the round-3 12 MB bound
+        # silently excluded the Brown grid size and this path fell back
+        # to XLA without saying so)
+        from ..ops.fused_rda import (WIDE_KERNEL_VMEM_LIMIT,
+                                     wide_kernel_vmem_bytes)
+
+        if wide_kernel_vmem_bytes(
+                s_axis, f_dim, tile_b,
+                pos_trn.dtype.itemsize) <= WIDE_KERNEL_VMEM_LIMIT:
             from ..ops.fused_rda import fused_block_train_wide
 
             w, df_avg, t = fused_block_train_wide(

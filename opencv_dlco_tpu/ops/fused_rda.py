@@ -235,29 +235,70 @@ def fused_block_train(pos: jax.Array, neg: jax.Array,
 
 # -- wide-S whole-chunk fusion: the full hyperparameter grid in one kernel --
 
-def _fused_train_wide_kernel(offs_ref, scal_ref, pos_ref, neg_ref,
-                             w_init_ref, df_init_ref, mu_ref, gamma_ref,
-                             w_out_ref, df_out_ref, w_s, df_s):
-    """Grid (n_steps, n_tiles). Differences from _fused_train_kernel that
-    buy the VMEM room for S in the hundreds:
+#: VMEM budget the wide kernel plans against (16 MB/core minus margin for
+#: Mosaic's own buffers). Round-3 used an opaque 12 MB bound that silently
+#: excluded the Brown grid size (S=256, F=5120, bf16) — the bench's
+#: "fused wide" rows were actually the XLA fallback.
+WIDE_KERNEL_VMEM_LIMIT = int(14.6 * 2 ** 20)
 
+
+def _wide_f_chunk(f_dim: int) -> int:
+    f_chunk = f_dim
+    while f_chunk > 1536 and f_chunk % 2 == 0:
+        f_chunk //= 2
+    return f_chunk
+
+
+def wide_kernel_vmem_bytes(s_axis: int, f_dim: int, tile_b: int,
+                           itemsize: int) -> int:
+    """Planned VMEM footprint of fused_block_train_wide (must stay under
+    WIDE_KERNEL_VMEM_LIMIT): the two (S, F) scratch residents, the
+    double-buffered pos/neg tiles, and the chunked-accumulate
+    intermediates. The (S, F) state itself stays in HBM (DMAd in/out)."""
+    resident = s_axis * f_dim * (itemsize + 4)
+    tiles = 4 * tile_b * f_dim * itemsize
+    inter = s_axis * _wide_f_chunk(f_dim) * 4 + 2 * tile_b * s_axis * 4
+    return resident + tiles + inter
+
+
+def _fused_train_wide_kernel(offs_ref, scal_ref, pos_ref, neg_ref,
+                             w_init_hbm, df_init_hbm, mu_ref, gamma_ref,
+                             df_out_hbm, w_s, df_s, sem_w, sem_df):
+    """Grid (n_steps, n_tiles). Differences from _fused_train_kernel that
+    buy the VMEM room for S in the hundreds (S=256, F=5120 = the full
+    Brown grid; round 3's version kept the (S, F) state as resident
+    input AND output blocks on top of the scratch — ~31 MB of VMEM — so
+    it never compiled at that size and the caller silently fell back to
+    the XLA path):
+
+      * the (S, F) state lives in HBM (`ANY` blocks), DMAd into the two
+        VMEM scratch residents at the first grid step; only df returns
+        (one DMA out at the last step) — w is a pure elementwise
+        function of df and the caller recomputes it in f32;
       * no g scratch — the subgradient folds straight into df via
         df <- df * t/(t+B) at tile 0, then df += (viol.T @ fd)/(t+B)
-        per tile (algebraically the same (t*df + g)/(t+B) average);
+        in (S, f_chunk) slices (a whole-width dot would materialise a
+        second (S, F) f32 intermediate);
       * the resident w is kept at the INPUT dtype (bf16 on the tuned
         path) — it only feeds the hinge threshold through the f matmul,
         the same bf16-grade decision the DEFAULT-precision XLA sweep
-        makes; the f32 outputs are recomputed from the f32 df at the end.
+        makes.
     """
     step = pl.program_id(0)
     tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     n_steps = pl.num_programs(0)
+    f_dim = w_s.shape[1]
+    f_chunk = _wide_f_chunk(f_dim)
 
     @pl.when((step == 0) & (tile == 0))
     def _():
-        w_s[...] = w_init_ref[...]
-        df_s[...] = df_init_ref[...]
+        w_in = pltpu.make_async_copy(w_init_hbm, w_s, sem_w)
+        df_in = pltpu.make_async_copy(df_init_hbm, df_s, sem_df)
+        w_in.start()
+        df_in.start()
+        w_in.wait()
+        df_in.wait()
 
     t0 = scal_ref[0].astype(jnp.float32)
     batch_f = scal_ref[1].astype(jnp.float32)
@@ -271,21 +312,26 @@ def _fused_train_wide_kernel(offs_ref, scal_ref, pos_ref, neg_ref,
     fd = pos_ref[...] - neg_ref[...]
     f = jnp.dot(fd, w_s[...].T, preferred_element_type=jnp.float32)
     viol = (f > -1.0).astype(fd.dtype)
-    df_s[...] += jnp.dot(viol.T, fd,
-                         preferred_element_type=jnp.float32) / tnf
+    for c0 in range(0, f_dim, f_chunk):
+        df_s[:, c0:c0 + f_chunk] += jnp.dot(
+            viol.T, fd[:, c0:c0 + f_chunk],
+            preferred_element_type=jnp.float32) / tnf
 
     @pl.when(tile == n_tiles - 1)
     def _():
-        w_new = jnp.maximum(
-            0.0, -jnp.sqrt(tnf) / gamma_ref[...] * (df_s[...] + mu_ref[...]))
-        w_s[...] = w_new.astype(w_s.dtype)
+        # chunked like the accumulate: the elementwise expression would
+        # otherwise materialise an (S, F) f32 temporary
+        for c0 in range(0, f_dim, f_chunk):
+            w_new = jnp.maximum(
+                0.0, -jnp.sqrt(tnf) / gamma_ref[...]
+                * (df_s[:, c0:c0 + f_chunk] + mu_ref[...]))
+            w_s[:, c0:c0 + f_chunk] = w_new.astype(w_s.dtype)
 
     @pl.when((step == n_steps - 1) & (tile == n_tiles - 1))
     def _():
-        w_f32 = jnp.maximum(
-            0.0, -jnp.sqrt(tnf) / gamma_ref[...] * (df_s[...] + mu_ref[...]))
-        w_out_ref[...] = w_f32
-        df_out_ref[...] = df_s[...]
+        df_out = pltpu.make_async_copy(df_s, df_out_hbm, sem_w)
+        df_out.start()
+        df_out.wait()
 
 
 @functools.partial(jax.jit,
@@ -328,31 +374,41 @@ def fused_block_train_wide(pos: jax.Array, neg: jax.Array,
                          lambda s_, i, offs, sc: (offs[s_, 0] + i, 0)),
             pl.BlockSpec((tile_b, f_dim),
                          lambda s_, i, offs, sc: (offs[s_, 1] + i, 0)),
-            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
-            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
+            # the (S, F) state stays in HBM — the kernel DMAs it into
+            # its VMEM scratch residents once (resident input/output
+            # BLOCKS of this size are what kept the kernel from ever
+            # compiling at the Brown grid size)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((s, 1), lambda s_, i, offs, sc: (0, 0)),
             pl.BlockSpec((s, 1), lambda s_, i, offs, sc: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
-            pl.BlockSpec((s, f_dim), lambda s_, i, offs, sc: (0, 0)),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((s, f_dim), pos.dtype),             # resident w
             pltpu.VMEM((s, f_dim), jnp.float32),           # resident df
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
-    w_out, df_out = pl.pallas_call(
+    df_out = pl.pallas_call(
         _fused_train_wide_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((s, f_dim), jnp.float32),
-                   jax.ShapeDtypeStruct((s, f_dim), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((s, f_dim), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * f_dim * s * n_steps,
             bytes_accessed=2 * batch * f_dim * pos.dtype.itemsize * n_steps,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(offs, scal, pos, neg, w.astype(pos.dtype), df_avg,
       mu.reshape(s, 1), gamma.reshape(s, 1))
-    return w_out, df_out, t + jnp.int32(batch * n_steps)
+    # w is a pure elementwise function of the f32 df — recomputed here in
+    # f32 (the in-kernel resident w is input-dtype and only feeds the
+    # hinge threshold)
+    t_new = t + jnp.int32(batch * n_steps)
+    tnf = t_new.astype(jnp.float32)
+    w_out = jnp.maximum(
+        0.0, -jnp.sqrt(tnf) / gamma[:, None] * (df_out + mu[:, None]))
+    return w_out, df_out, t_new

@@ -60,9 +60,16 @@ def distributed_init(coordinator: Optional[str] = None,
         # going to initialize)
         return jax.process_count() > 1
 
+    # DLCO_SHUTDOWN_TIMEOUT: the coordination service's shutdown barrier
+    # (default 300 s) must absorb the slowest process's remaining work
+    # after the fastest exits; heavily oversubscribed test topologies
+    # (4 procs x 2 virtual devices on a 2-core host, each compiling the
+    # whole pipeline) legitimately skew past 300 s
+    shutdown_s = int(os.environ.get("DLCO_SHUTDOWN_TIMEOUT", "300"))
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               shutdown_timeout_seconds=shutdown_s)
     _initialized = True
     return jax.process_count() > 1
 

@@ -109,7 +109,7 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
     gammas = jnp.asarray([c[1] for c in combos], jnp.float32)
 
     data = ws._load_split(
-        dist_path or ws.path("distances", f"{ds}-dist.h5"),
+        dist_path or ws.dist_path(ds),
         base.train_frac, base.seed)
     # budget computed at f32 size — a safe overestimate when split_dtype
     # is bf16 (residency halves after the cast below)

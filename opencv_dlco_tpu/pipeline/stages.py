@@ -112,6 +112,19 @@ class Workspace:
         with ArtifactStore(self.genpr(), "r") as st:
             return st.read("PRParams")
 
+    def dist_path(self, ds: str) -> str:
+        """Stage-3 output for ``ds``: the single-writer .h5 if present,
+        else the multi-writer sharded .zarr (whichever compdist produced
+        under the current process topology — readers are format-agnostic
+        via data/shard_store.open_for_read)."""
+        h5 = os.path.join(self.root, "distances", f"{ds}-dist.h5")
+        if os.path.exists(h5):
+            return h5
+        zarr = os.path.join(self.root, "distances", f"{ds}-dist.zarr")
+        if os.path.isdir(zarr):
+            return zarr
+        return h5   # canonical (error surfaces at open, as before)
+
     # -- stage 3: full ring-distance precompute ---------------------------
 
     def compdist(self, ds: str, sharded: Optional[bool] = None) -> str:
@@ -310,7 +323,7 @@ class Workspace:
             if resume is None:
                 os.remove(out)
 
-        data = self._load_split(dist_path or self.path("distances", f"{ds}-dist.h5"),
+        data = self._load_split(dist_path or self.dist_path(ds),
                                 cfg.train_frac, cfg.seed)
         params = self.load_pr_params()
         check_device_budget(
@@ -742,7 +755,11 @@ class Workspace:
         from ..utils.configs import PJSweepGrid, PRSweepGrid
 
         pr_cfg = pr_cfg or PRLearnConfig()
-        pj_cfg = pj_cfg or PJLearnConfig()
+        # grid default is psd_ns since the round-4 reference-budget soak
+        # (bench pj_soak: per-combo rank/FPR95/AUC parity vs exact over
+        # the full 50k iterations); single runs (Workspace.pjlearn) keep
+        # the reference-semantics "exact" default
+        pj_cfg = pj_cfg or PJLearnConfig(eigh_mode="psd_ns")
         pr_grid = pr_grid or PRSweepGrid()
         pj_grid = pj_grid or PJSweepGrid()
 

@@ -11,6 +11,7 @@ best-w history, which is also kept (data/store.py append_row).
 from __future__ import annotations
 
 import os
+import time
 from typing import Optional
 
 import numpy as np
@@ -131,12 +132,28 @@ class ShardedSweepCheckpoint:
         import jax.numpy as jnp
         from ..data.shard_store import shard_rows
 
+        def open_shard(path):
+            """A PEER process may still hold its file's write lock (the
+            processes interrupt and resume independently, so a fast
+            process can reach load() while a slow one is mid-save of the
+            same wave). The h5 lock makes the mid-write state unreadable
+            — which is the correctness guarantee — so a locked file
+            means 'retry shortly', not 'corrupt'."""
+            deadline = time.time() + 120.0
+            while True:
+                try:
+                    return ArtifactStore(path, "r")
+                except (BlockingIOError, OSError):
+                    if time.time() > deadline:
+                        raise
+                    time.sleep(0.2)
+
         per_proc = []
         for p in range(self.n_writers):
             path = self.path(p)
             if not os.path.exists(path):
                 return None
-            with ArtifactStore(path, "r") as st:
+            with open_shard(path) as st:
                 if st.get_meta("signature") != signature:
                     return None
                 waves = {}
@@ -162,7 +179,7 @@ class ShardedSweepCheckpoint:
         for p in range(self.n_writers):
             lo, hi = shard_rows(self.n_sweep, 1, p, self.n_writers)
             slot = per_proc[p][0][wave]
-            with ArtifactStore(self.path(p), "r") as st:
+            with open_shard(self.path(p)) as st:
                 for name in state_fields + array_names + ["prng_key"]:
                     if name in sharded:
                         arr = st.read(f"slot{slot}/{name}")

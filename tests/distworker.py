@@ -72,7 +72,16 @@ def main() -> None:
     ws = Workspace(ws_root, pool_cfg=PoolRegionConfig(nr=6, nphi=2,
                                                       nsigma=3),
                    pair_block=64, progress=False)
-    grid = PRSweepGrid(mus=(0.005, 0.02), gammas=(0.05,))
+    if os.environ.get("DLCO_DIST_COMPDIST"):
+        # stage 3 inside the distributed job: with process_count > 1 the
+        # workspace auto-switches to the sharded zarr store and THIS
+        # process writes its own row range of the distance matrix
+        ws.compdist("sy")
+    gammas = (0.05, 0.1) if os.environ.get("DLCO_DIST_COMPDIST") \
+        else (0.05,)
+    # the 4-process run needs >= 1 combo per process: an empty sweep
+    # shard desynchronises the final waves and the shutdown barrier
+    grid = PRSweepGrid(mus=(0.005, 0.02), gammas=gammas)
     cfg = PRLearnConfig(n_iter=4000, log_step=2000, batch=128,
                         max_dim=10_000)
     # interrupt after one log period, then resume: under process_count > 1

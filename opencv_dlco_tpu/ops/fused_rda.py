@@ -378,12 +378,12 @@ def fused_block_train_wide(pos: jax.Array, neg: jax.Array,
             # its VMEM scratch residents once (resident input/output
             # BLOCKS of this size are what kept the kernel from ever
             # compiling at the Brown grid size)
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((s, 1), lambda s_, i, offs, sc: (0, 0)),
             pl.BlockSpec((s, 1), lambda s_, i, offs, sc: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((s, f_dim), pos.dtype),             # resident w
             pltpu.VMEM((s, f_dim), jnp.float32),           # resident df

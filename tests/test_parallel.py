@@ -181,7 +181,7 @@ def test_distributed_init_env_driven(monkeypatch):
     called = {}
 
     def fake_init(coordinator_address=None, num_processes=None,
-                  process_id=None):
+                  process_id=None, shutdown_timeout_seconds=None):
         called.update(addr=coordinator_address, n=num_processes,
                       pid=process_id)
 

@@ -186,6 +186,15 @@ def cmd_export(args):
     print(f"exported: {out}")
 
 
+def cmd_e2e(args):
+    from .pipeline.e2e import run_reference_scale
+
+    summary = run_reference_scale(
+        args.workspace, n_pairs=args.n_pairs, pr_iters=args.pr_iters,
+        pj_iters=args.pj_iters, out_json=args.out_json)
+    print(json.dumps(summary, indent=1, sort_keys=True, default=str))
+
+
 def cmd_workflow(args):
     from .utils.configs import PJLearnConfig, PRLearnConfig
 
@@ -368,6 +377,17 @@ def main(argv=None):
     sp.add_argument("--batch", type=int, default=4096)
     sp.add_argument("--max-dim", type=int, default=640)
     sp.set_defaults(fn=cmd_workflow)
+
+    sp = sub.add_parser("e2e", help="reference-scale end-to-end run: "
+                                    "3 synthetic Brown-shaped datasets at "
+                                    "500k x 5120, full PR/PJ grids at "
+                                    "reference budgets, export + artifact")
+    common(sp)
+    sp.add_argument("--n-pairs", type=int, default=500_000)
+    sp.add_argument("--pr-iters", type=int, default=50_000_000)
+    sp.add_argument("--pj-iters", type=int, default=50_000)
+    sp.add_argument("--out-json", default=None)
+    sp.set_defaults(fn=cmd_e2e)
 
     sp = sub.add_parser("bench", help="run benchmark suite")
     common(sp, workspace=False)

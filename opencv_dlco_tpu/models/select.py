@@ -207,8 +207,20 @@ def compute_pr_stats_rows(params, dists, labels, hist,
                  if max_dim == -1 or o["dim"] <= max_dim]
     for s in range(0, len(eval_rows), row_block):
         block = eval_rows[s:s + row_block]
-        fpr95, auc = _pr_rows_roc(
-            dists, labels, jnp.asarray(hist[block], jnp.float32))
+        w_block = hist[block].astype(np.float32, copy=False)
+        # pad each block to the next power of two (repeat the first row)
+        # so a full-scale stats pass over hundreds of model files with
+        # varying history lengths compiles _pr_rows_roc for at most
+        # log2(row_block)+1 shapes per dataset instead of once per
+        # distinct R (remote-TPU compiles are ~20-40 s each; padded
+        # outputs are discarded, and the pad waste is bounded at 2x)
+        n_real = len(block)
+        padded = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        if n_real < padded:
+            pad = np.broadcast_to(w_block[:1],
+                                  (padded - n_real, w_block.shape[1]))
+            w_block = np.concatenate([w_block, pad], axis=0)
+        fpr95, auc = _pr_rows_roc(dists, labels, jnp.asarray(w_block))
         for j, r in enumerate(block):
             out[r]["fpr95"] = float(fpr95[j])
             out[r]["auc"] = float(auc[j])

@@ -92,8 +92,8 @@ def _fused_eligible(query, train, k: int) -> bool:
         return False
     if isinstance(query, jax.core.Tracer) or isinstance(train, jax.core.Tracer):
         return False            # jit/vmap callers keep their XLA semantics
-    if jax.default_backend() == "cpu":
-        return False            # compiled Pallas is TPU-only
+    if jax.default_backend() != "tpu":
+        return False            # pltpu Mosaic kernels: no gpu/cpu lowering
     if not 1 <= k <= 16:
         return False
     if query.ndim != 2 or train.ndim != 2:

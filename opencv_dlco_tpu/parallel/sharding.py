@@ -72,6 +72,41 @@ def ring_distances_sharded(mesh: Mesh, filters, pt1, pt2,
     return fn(f_sh, pt1, pt2)
 
 
+# -- stage 5: sharded model-selection stats pass -------------------------
+
+def pr_stats_sharded(mesh: Mesh, dists, labels, w_rows):
+    """Cross-dataset stats (FPR95/AUC per model row) over the SHARDED
+    distance matrix — the pr-stats pass (src/pr-stats.cpp:196-252) as a
+    distributed program: the (N, F) x (F, R) scoring GEMM runs sharded
+    (pairs over dp, features over mp, one psum over mp), then per-pair
+    scores are all-gathered over dp and every shard runs the identical
+    batched ROC sweep (a global sort cannot stay sharded; the gather is
+    N x R floats, tiny next to the resident matrix).
+
+    dists: (N, F) P(dp, mp); labels: (N,) P(dp); w_rows: (R, F)
+    replicated. Returns (fpr95 (R,), auc (R,)) replicated.
+    """
+    from ..ops.roc import roc_stats
+
+    def stats(d_l, lab_l, w_l):
+        pd = jax.lax.psum(
+            jnp.matmul(d_l, w_l.T, precision=_HIGHEST), model_axis
+        )  # (N/dp, R)
+        pd_full = jax.lax.all_gather(pd, data_axis, axis=0, tiled=True)
+        lab_full = jax.lax.all_gather(lab_l, data_axis, axis=0, tiled=True)
+        fpr95, auc = jax.vmap(roc_stats, in_axes=(1, None))(pd_full,
+                                                            lab_full)
+        return fpr95, auc
+
+    return shard_map(
+        stats, mesh=mesh,
+        in_specs=(P(data_axis, model_axis), P(data_axis),
+                  P(None, model_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(dists, labels, w_rows)
+
+
 # -- stage 4: sharded PR RDA ---------------------------------------------
 
 @functools.partial(jax.jit,

@@ -95,13 +95,19 @@ def _sweep_signature(combos, base, n_feat, extra=None):
 
 def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                  dist_path: Optional[str] = None,
-                 _stop_after_logs: Optional[int] = None) -> List[dict]:
+                 _stop_after_logs: Optional[int] = None,
+                 ckpt_every: int = 1) -> List[dict]:
     """Train the full (mu, gamma) grid for one dataset in a single program.
 
     Writes one pr-learn/{ds}-{mu}-{gamma}-pr.h5 per combo (best-w history,
     same layout as Workspace.prlearn) and returns per-combo summaries
     sorted by final validation objective. Interruptions resume from the
     sidecar checkpoint with identical final artifacts.
+
+    ``ckpt_every``: sidecar cadence in log periods (default every log, the
+    resume-tests' contract). Reference-budget runs log 500 times per sweep
+    (50M samples / 100k); a coarser cadence bounds checkpoint IO while an
+    interruption still loses at most ``ckpt_every`` log periods.
     """
     combos = grid.combos()
     s = len(combos)
@@ -218,23 +224,30 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                 t=int(state.t), improved=int(imp_idx.size),
                 med_obj=float(jnp.median(obj)),
             )
-            if sck is not None:
-                sck.save(state, key,
-                         {"best_obj": np.asarray(best_obj),
-                          "best_w": np.asarray(best_w),
-                          "row_counts": row_counts},
-                         signature, li + 1)
-            else:
-                with writer_store(ckpt_path, "a") as ck:
-                    save_solver_state(ck, state, key,
-                                      extra={"completed_logs": li + 1},
-                                      compression=0)
-                    ck.write("best_obj", np.asarray(best_obj),
-                             compression=0)
-                    ck.write("best_w", np.asarray(best_w), compression=0)
-                    ck.write("row_counts", row_counts, compression=0)
-                    ck.set_meta("signature", signature)
+            def _save_ckpt(li=li):
+                if sck is not None:
+                    sck.save(state, key,
+                             {"best_obj": np.asarray(best_obj),
+                              "best_w": np.asarray(best_w),
+                              "row_counts": row_counts},
+                             signature, li + 1)
+                else:
+                    with writer_store(ckpt_path, "a") as ck:
+                        save_solver_state(ck, state, key,
+                                          extra={"completed_logs": li + 1},
+                                          compression=0)
+                        ck.write("best_obj", np.asarray(best_obj),
+                                 compression=0)
+                        ck.write("best_w", np.asarray(best_w),
+                                 compression=0)
+                        ck.write("row_counts", row_counts, compression=0)
+                        ck.set_meta("signature", signature)
+
+            if (li + 1) % ckpt_every == 0 or li + 1 == n_logs:
+                _save_ckpt()
             if _stop_after_logs is not None and li + 1 >= _stop_after_logs:
+                if (li + 1) % ckpt_every != 0:
+                    _save_ckpt()
                 raise SweepInterrupted(f"stopped after log {li + 1}")
         results = []
         obj_np = np.asarray(best_obj)

@@ -293,7 +293,7 @@ def _match_pose_chunk(yx_a, d_a, v_a, yx_b, d_b, v_b, intr, keys, *,
     # hardware — tests/test_tpu_smoke.py) instead of C vmapped
     # GEMM+top_k merges; CPU keeps the XLA scan path.
     d_bm = jnp.where(v_b[..., None], d_b, -1e6)
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() == "tpu":
         from ..ops.knn_pallas import knn2_fused_batched
 
         dists, idx = knn2_fused_batched(d_a, d_bm, bf16=False)

@@ -65,6 +65,13 @@ class Workspace:
     pool_cfg: PoolRegionConfig = PoolRegionConfig()
     pair_block: int = 256  # pairs per device batch in distance stages
     progress: bool = True
+    # gzip level for the big streamed matrices (Distance/unproj). The
+    # reference's artifacts are gzip-chunked HDF5 (schema parity = gzip
+    # chunking, not a level); ring distances are high-entropy float32
+    # (published ratio ~1.16), so level 1 keeps the format at ~10x the
+    # write speed of level 9 — at Brown scale a level-9 stage 3 would
+    # spend hours in deflate on a 2-core host. 0 = stored deflate blocks.
+    dist_compression: int = 1
 
     def path(self, *parts: str) -> str:
         p = os.path.join(self.root, *parts)
@@ -164,7 +171,8 @@ class Workspace:
         bar = self._bar()
         with ArtifactStore(out, "w") as st:
             st.write("Label", pair_labels(indices).reshape(-1, 1))
-            st.create("Distance", (n_pairs, n_rings), np.float32)
+            st.create("Distance", (n_pairs, n_rings), np.float32,
+                      compression=self.dist_compression)
             self._dist_rows(st, indices, patches, 0, n_pairs, bar)
             if bar:
                 bar.done()
@@ -512,7 +520,8 @@ class Workspace:
         blk = self.pair_block
         with ArtifactStore(out, "w") as st:
             st.write("Label", labels.reshape(-1, 1))
-            st.create("Distance", (n_pairs, n_dim), np.float32)
+            st.create("Distance", (n_pairs, n_dim), np.float32,
+                      compression=self.dist_compression)
             for s in range(0, n_pairs, blk):
                 e = min(s + blk, n_pairs)
                 pt1 = batch_patch_transform(
@@ -742,14 +751,30 @@ class Workspace:
                  pr_cfg: Optional["PRLearnConfig"] = None,
                  pj_cfg: Optional[PJLearnConfig] = None,
                  pr_grid=None, pj_grid=None,
-                 export_dims: Sequence[int] = (48, 64, 80, 120)) -> dict:
+                 export_dims: Sequence[int] = (48, 64, 80, 120),
+                 pj_datasets: Optional[Sequence[str]] = None,
+                 pr_ckpt_every: int = 1,
+                 pj_ckpt_every: int = 1) -> dict:
         """Stages 2-11 end-to-end with automatic model selection.
 
         Replaces the reference's 11-script chain *including* the by-hand
         winner pick (workspace/README.md:25-27): PR sweep per dataset ->
-        cross-dataset ranking -> unprojected diffs for the winner -> PJ
-        sweep -> per-dim-cap export. Datasets must already be converted
-        (stage 1 needs the raw patch directories).
+        cross-dataset ranking -> unprojected diffs for the winner on
+        EVERY dataset -> PJ sweep -> cross-dataset PJ ranking
+        (pjstats + pj_rank_cross, the real train-on-A/test-on-B pass the
+        reference's 09-pjstats.sh only approximates by log scraping) ->
+        per-dim-cap export. Datasets must already be converted (stage 1
+        needs the raw patch directories).
+
+        ``pj_datasets``: subset whose unproj sets train the PJ grid
+        (default: all). Every dataset still gets unproj diffs and enters
+        the cross-dataset PJ evaluation — the trained-on subset only
+        bounds sweep cost (reference scale: one 45-combo grid is ~47 min
+        of chip; the reference's own published exports train each PJ on
+        ONE unproj set and rank across datasets, 08-pjlearn.sh).
+
+        Returns per-stage wall-clock in ``stage_seconds`` alongside the
+        selection results.
         """
         from ..parallel.sweep import run_pj_sweep, run_pr_sweep
         from ..utils.configs import PJSweepGrid, PRSweepGrid
@@ -762,38 +787,65 @@ class Workspace:
         pj_cfg = pj_cfg or PJLearnConfig(eigh_mode="psd_ns")
         pr_grid = pr_grid or PRSweepGrid()
         pj_grid = pj_grid or PJSweepGrid()
+        pj_datasets = list(pj_datasets or datasets)
 
-        self.genpr()
-        dist_paths = {ds: self.compdist(ds) for ds in datasets}
+        stage_seconds: Dict[str, float] = {}
+
+        def timed(name, fn, *args, **kw):
+            t0 = time.perf_counter()
+            out = fn(*args, **kw)
+            stage_seconds[name] = round(
+                stage_seconds.get(name, 0.0)
+                + time.perf_counter() - t0, 3)
+            return out
+
+        timed("02_genpr", self.genpr)
+        dist_paths = {ds: timed(f"03_compdist[{ds}]", self.compdist, ds)
+                      for ds in datasets}
 
         models = []
         for ds in datasets:
-            run_pr_sweep(self, ds, pr_grid, pr_cfg)
+            timed(f"04_prsweep[{ds}]", run_pr_sweep, self, ds,
+                  pr_grid, pr_cfg, ckpt_every=pr_ckpt_every)
             models.extend(
                 sorted(set(
                     os.path.join(self.root, "pr-learn", f)
                     for f in os.listdir(os.path.join(self.root, "pr-learn"))
                     if f.startswith(f"{ds}-") and f.endswith("-pr.h5"))))
-        records = self.prstats(models, dist_paths,
-                               jsonl_path=self.path("pr-select.jsonl"))
+        records = timed("05_prstats", self.prstats, models, dist_paths,
+                        jsonl_path=self.path("pr-select.jsonl"))
         ranked = self.pr_rank(records)
         if not ranked:
             raise RuntimeError("no PR model ranked on all datasets")
         best_pr = ranked[0]
         pr_ref = f"{best_pr['model']}#{best_pr['row']}"
 
+        unproj_paths = {ds: timed(f"07_compunproj[{ds}]",
+                                  self.compunproj, ds, pr_ref)
+                        for ds in datasets}
         pj_models = []
-        for ds in datasets:
-            unproj = self.compunproj(ds, pr_ref)
-            pj_models.extend(run_pj_sweep(self, unproj, pj_grid, pj_cfg))
+        for ds in pj_datasets:
+            pj_models.extend(
+                timed(f"08_pjsweep[{ds}]", run_pj_sweep, self,
+                      unproj_paths[ds], pj_grid, pj_cfg,
+                      ckpt_every=pj_ckpt_every))
+
+        pj_records = timed(
+            "09_pjstats", self.pjstats,
+            [m["model"] for m in pj_models], unproj_paths,
+            jsonl_path=self.path("pj-select.jsonl"))
 
         exports = {}
+        pj_ranked = {}
         for dim in export_dims:
-            fitting = [m for m in pj_models if 0 < m["dim"] <= dim]
-            if not fitting:
+            ranked_dim = self.pj_rank_cross(pj_records, max_dim=dim)
+            if not ranked_dim:
                 continue
-            winner = min(fitting, key=lambda m: m.get("fpr95", np.inf))
-            exports[dim] = self.export(
+            winner = ranked_dim[0]
+            pj_ranked[dim] = winner
+            exports[dim] = timed(
+                f"11_export[{dim}]", self.export,
                 pr_ref, winner["model"], f"vgg_generated_{dim}.i")
         return dict(best_pr=best_pr, pr_ref=pr_ref, pj_models=pj_models,
-                    exports=exports)
+                    pj_records=pj_records, pj_ranked=pj_ranked,
+                    exports=exports, stage_seconds=stage_seconds)

@@ -10,6 +10,7 @@ best-w history, which is also kept (data/store.py append_row).
 
 from __future__ import annotations
 
+import errno
 import os
 import time
 from typing import Optional
@@ -128,9 +129,24 @@ class ShardedSweepCheckpoint:
 
     def load(self, state_cls, signature: dict):
         """Assemble (state, key, arrays, completed_logs) from the newest
-        wave all processes agree on; None if absent/incompatible."""
+        wave all processes agree on; None if absent/incompatible.
+
+        A shard file that VANISHES between the existence scan and its
+        open means a faster peer already finished the sweep and ran
+        cleanup() — the checkpoint set is gone, so resume from scratch
+        (deterministic replay converges to the same final artifacts).
+        Retrying the open (the pre-r5 behaviour) could never succeed:
+        cleaned-up files don't come back.
+        """
         import jax.numpy as jnp
         from ..data.shard_store import shard_rows
+
+        try:
+            return self._load(state_cls, signature, jnp, shard_rows)
+        except FileNotFoundError:
+            return None
+
+    def _load(self, state_cls, signature, jnp, shard_rows):
 
         def open_shard(path):
             """A PEER process may still hold its file's write lock (the
@@ -143,8 +159,20 @@ class ShardedSweepCheckpoint:
             while True:
                 try:
                     return ArtifactStore(path, "r")
-                except (BlockingIOError, OSError):
+                except BlockingIOError:
                     if time.time() > deadline:
+                        raise
+                    time.sleep(0.2)
+                except OSError as err:
+                    # h5py raises plain OSError for corrupt/truncated
+                    # files too — only lock contention is retryable;
+                    # everything else should surface immediately.
+                    msg = str(err).lower()
+                    locked = ("unable to lock" in msg
+                              or "file is already open" in msg
+                              or "resource temporarily unavailable" in msg
+                              or getattr(err, "errno", None) == errno.EAGAIN)
+                    if not locked or time.time() > deadline:
                         raise
                     time.sleep(0.2)
 

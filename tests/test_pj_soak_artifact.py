@@ -34,5 +34,10 @@ def test_pj_soak_artifact_quality():
     # the oracle must not be saturated (r3 critique): the planted task
     # keeps FPR95 in the real PJ band, not at 0-vs-0
     assert any(c["fpr95_exact"] > 0.005 for c in soak["combos"])
-    # throughput: the default must actually be the fast mode
-    assert soak["psd_ns_iters_per_sec"] > 2 * soak["exact_iters_per_sec"]
+    # throughput: the default must actually be the fast mode. Compare
+    # PER-COMBO rates — the two sweeps have different widths (45 vs 9
+    # combos), so the raw aggregate ratio would conflate sweep width
+    # with mode speed (ADVICE r4).
+    ns_pc = soak["psd_ns_iters_per_sec"] / soak["psd_ns_n_combos"]
+    ex_pc = soak["exact_iters_per_sec"] / soak["exact_n_combos"]
+    assert ns_pc > 1.5 * ex_pc, (ns_pc, ex_pc)

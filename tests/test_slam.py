@@ -494,6 +494,7 @@ def test_triangle_flip_repair_restores_flipped_edge():
     assert _nn_fit_residual(-u, u, v) > 0.99
 
 
+@requires_reference
 def test_short_sequence_regression_gate():
     """48-frame flagship-row regression gate (VERDICT r3 next #1: the
     short row had no gate at all while being the only committed number

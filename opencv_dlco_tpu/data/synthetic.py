@@ -131,6 +131,139 @@ def _warp_bilinear(imgs: np.ndarray, dy, dx, angle, scale,
             + v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
+def synth_patch_pairs_device(key, n_pairs: int,
+                             patch_size: int = 64, pos_frac: float = 0.5,
+                             noise: float = 0.06, shift: int = 2,
+                             rot: float = 0.0, scale_jitter: float = 0.0,
+                             contrast_jitter: float = 0.0,
+                             neg_overlap: float = 0.0):
+    """``synth_patch_pairs`` on the accelerator: same generative math
+    (band-limited FFT textures, similarity-warped positives, blended hard
+    negatives, photometric jitter), drawn with jax.random and executed as
+    one jitted program (cached per parameter set — a fresh closure per
+    call would recompile every chunk, ~20 s each on the remote TPU).
+
+    Motivation: the numpy path renders ~2.3k pairs/min on this 2-core
+    host, which would put ~3.6 CPU-hours of texture FFTs in front of the
+    reference-scale e2e run (pipeline/e2e.py); the device path renders a
+    full 500k-pair dataset in minutes and only the uint8 patches leave
+    the chip. Distribution-equivalent, not bit-equal (independent PRNG
+    streams, float32 FFT) — asserted by tests/test_data.py.
+
+    Returns (patches1, patches2, labels) as numpy arrays, pos pairs first
+    — the ``synth_patch_pairs`` contract.
+    """
+    render = _device_render_program(
+        n_pairs, patch_size, pos_frac, noise, shift, rot, scale_jitter,
+        contrast_jitter, neg_overlap)
+    p1, p2 = render(key)
+    n_pos = int(n_pairs * pos_frac)
+    labels = np.zeros(n_pairs, dtype=np.uint8)
+    labels[:n_pos] = 1
+    return np.asarray(p1), np.asarray(p2), labels
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _device_render_program(n_pairs, patch_size, pos_frac, noise, shift,
+                           rot, scale_jitter, contrast_jitter,
+                           neg_overlap):
+    """Build (once) the jitted pair-render program for a parameter set."""
+    import jax
+    import jax.numpy as jnp
+
+    n_pos = int(n_pairs * pos_frac)
+    n_neg = n_pairs - n_pos
+    margin = shift + int(np.ceil(
+        0.5 * patch_size * (np.sin(rot) + scale_jitter))) + 1
+    size = patch_size + 2 * margin
+
+    def smooth(k, n):
+        kr, ki = jax.random.split(k)
+        freq = (jax.random.normal(kr, (n, size, size), jnp.float32)
+                + 1j * jax.random.normal(ki, (n, size, size), jnp.float32))
+        f1 = jnp.fft.fftfreq(size).astype(jnp.float32)
+        mask = jnp.exp(-((f1[None, :, None] ** 2 + f1[None, None, :] ** 2)
+                         * (size / 4.0) ** 2))
+        img = jnp.fft.ifft2(freq * mask).real
+        lo = img.min(axis=(1, 2), keepdims=True)
+        hi = img.max(axis=(1, 2), keepdims=True)
+        return (img - lo) / (hi - lo + 1e-9)
+
+    def warp(imgs, dy, dx, angle, scale):
+        # mirrors _warp_bilinear: inverse-mapped similarity about centre
+        n, h, w = imgs.shape
+        yy, xx = jnp.mgrid[:patch_size, :patch_size]
+        yc = (yy - (patch_size - 1) / 2.0).astype(jnp.float32)
+        xc = (xx - (patch_size - 1) / 2.0).astype(jnp.float32)
+        cos = jnp.cos(angle)[:, None, None]
+        sin = jnp.sin(angle)[:, None, None]
+        inv_s = 1.0 / scale[:, None, None]
+        sy = (cos * yc + sin * xc) * inv_s + (h - 1) / 2.0 \
+            + dy[:, None, None]
+        sx = (-sin * yc + cos * xc) * inv_s + (w - 1) / 2.0 \
+            + dx[:, None, None]
+        y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 2)
+        x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 2)
+        fy = jnp.clip(sy - y0, 0.0, 1.0)
+        fx = jnp.clip(sx - x0, 0.0, 1.0)
+
+        def gather(dyy, dxx):
+            flat = imgs.reshape(n, h * w)
+            idx = (y0 + dyy) * w + (x0 + dxx)
+            return jnp.take_along_axis(flat, idx.reshape(n, -1),
+                                       axis=1).reshape(idx.shape)
+
+        v00, v01 = gather(0, 0), gather(0, 1)
+        v10, v11 = gather(1, 0), gather(1, 1)
+        return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+                + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+    def crop_center(imgs):
+        # the identity warp (zero shift/angle, unit scale) bilinear-samples
+        # at exact integer coordinates offset by (h-1)/2-(p-1)/2 = margin:
+        # a static slice, sparing the TPU-hostile gather for those calls
+        return imgs[:, margin:margin + patch_size,
+                    margin:margin + patch_size]
+
+    @jax.jit
+    def render(k):
+        ks = jax.random.split(k, 8)
+        base = smooth(ks[0], n_pairs + n_neg)
+        one = jnp.ones(n_pairs, jnp.float32)
+        p1 = crop_center(base[:n_pairs])
+        dy = jax.random.uniform(ks[1], (n_pairs,), minval=-shift,
+                                maxval=shift)
+        dx = jax.random.uniform(ks[2], (n_pairs,), minval=-shift,
+                                maxval=shift)
+        ang = jax.random.uniform(ks[3], (n_pairs,), minval=-rot,
+                                 maxval=rot)
+        sc = jnp.exp(jax.random.uniform(
+            ks[4], (n_pairs,), minval=-np.log1p(scale_jitter),
+            maxval=np.log1p(scale_jitter))) if scale_jitter > 0 else one
+        p2 = warp(base[:n_pairs], dy, dx, ang, sc)
+        others = crop_center(base[n_pairs:])
+        p2 = p2.at[n_pos:].set(
+            neg_overlap * p1[n_pos:] + (1.0 - neg_overlap) * others)
+        if contrast_jitter > 0.0:
+            gain = 1.0 + jax.random.uniform(
+                ks[5], (n_pairs, 1, 1), minval=-contrast_jitter,
+                maxval=contrast_jitter)
+            bias = jax.random.uniform(
+                ks[6], (n_pairs, 1, 1), minval=-0.5 * contrast_jitter,
+                maxval=0.5 * contrast_jitter)
+            p2 = (p2 - 0.5) * gain + 0.5 + bias
+        kn1, kn2 = jax.random.split(ks[7])
+        p1 = p1 + noise * jax.random.normal(kn1, p1.shape, jnp.float32)
+        p2 = p2 + noise * jax.random.normal(kn2, p2.shape, jnp.float32)
+        to_u8 = lambda x: (jnp.clip(x, 0, 1) * 255).astype(jnp.uint8)
+        return to_u8(p1), to_u8(p2)
+
+    return render
+
+
 # Hardened pair distribution for precision gating (VERDICT r2 item 2): the
 # legacy defaults are so separable that FPR95 = 0 at any matmul precision,
 # which makes a |dFPR95| gate vacuous. These knobs put the f32 FPR95 of a

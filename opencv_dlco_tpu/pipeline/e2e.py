@@ -41,7 +41,11 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 from ..data.store import ArtifactStore
-from ..data.synthetic import HARD_PAIR_PARAMS, synth_patch_pairs
+from ..data.synthetic import (
+    HARD_PAIR_PARAMS,
+    synth_patch_pairs,
+    synth_patch_pairs_device,
+)
 from ..utils.configs import (
     PJLearnConfig,
     PJSweepGrid,
@@ -80,6 +84,11 @@ def generate_synthetic_dataset(ws: Workspace, name: str, seed: int,
                 return out
         os.remove(out)
 
+    import jax
+
+    # TPU renders a 500k-pair dataset in minutes; the numpy path is the
+    # canonical distribution (same math) but needs CPU-hours at scale
+    on_device = jax.default_backend() == "tpu"
     indices = np.zeros((n_pairs, 4), np.int32)
     indices[:, 0] = np.arange(n_pairs)
     indices[:, 2] = np.arange(n_pairs) + n_pairs
@@ -90,9 +99,14 @@ def generate_synthetic_dataset(ws: Workspace, name: str, seed: int,
             e = min(s + chunk, n_pairs)
             # per-chunk independent substream: chunk boundaries don't
             # change the distribution and regeneration is reproducible
-            rng = np.random.default_rng((seed, s))
-            p1, p2, labels = synth_patch_pairs(
-                rng, n_pairs=e - s, **HARD_PAIR_PARAMS)
+            if on_device and e - s == chunk:
+                p1, p2, labels = synth_patch_pairs_device(
+                    jax.random.PRNGKey(seed * 1_000_003 + s),
+                    n_pairs=e - s, **HARD_PAIR_PARAMS)
+            else:
+                rng = np.random.default_rng((seed, s))
+                p1, p2, labels = synth_patch_pairs(
+                    rng, n_pairs=e - s, **HARD_PAIR_PARAMS)
             st.write_rows("Patches", s, p1)
             st.write_rows("Patches", n_pairs + s, p2)
             # 3D-point ids: positives share patch1's id, negatives get
@@ -154,7 +168,9 @@ def run_reference_scale(root: str,
     datasets = dict(datasets or DEFAULT_DATASETS)
     names = list(datasets)
     pj_datasets = list(pj_datasets or names[:1])
-    ws = Workspace(root, progress=progress,
+    # pair_block 1024: the remote-TPU tunnel pays a fixed per-transfer
+    # cost; 21 MB distance tiles amortise it ~1.5x better than 5 MB ones
+    ws = Workspace(root, progress=progress, pair_block=1024,
                    **({"pool_cfg": pool_cfg} if pool_cfg else {}))
 
     t_start = time.time()

@@ -104,3 +104,37 @@ def test_convert_brown_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(labels, (pts[:, 0] == pts[:, 1]))
     # idempotent resume
     assert convert_brown_patches(str(d), out, progress=False) == (n_pairs, np_patches)
+
+
+def test_synth_patch_pairs_device_distribution_matches_numpy():
+    """synth_patch_pairs_device must be distribution-equivalent to the
+    canonical numpy generator at the calibrated hard preset (it feeds the
+    reference-scale e2e datasets): matched pixel moments and the same
+    pos/neg separation structure, without being bit-equal."""
+    import jax
+    from opencv_dlco_tpu.data.synthetic import (HARD_PAIR_PARAMS,
+                                                synth_patch_pairs,
+                                                synth_patch_pairs_device)
+
+    n = 1024
+    rng = np.random.default_rng(7)
+    a1, a2, la = synth_patch_pairs(rng, n_pairs=n, **HARD_PAIR_PARAMS)
+    b1, b2, lb = synth_patch_pairs_device(jax.random.PRNGKey(7), n_pairs=n,
+                                          **HARD_PAIR_PARAMS)
+    assert b1.shape == a1.shape and b1.dtype == np.uint8
+    assert np.array_equal(la, lb)
+
+    def stats(p1, p2, labels):
+        d = np.abs(p1.astype(np.float32) - p2.astype(np.float32))
+        pos = d[labels == 1].mean()
+        neg = d[labels == 0].mean()
+        return p1.mean(), p1.std(), pos, neg
+
+    am, asd, apos, aneg = stats(a1, a2, la)
+    bm, bsd, bpos, bneg = stats(b1, b2, lb)
+    assert abs(am - bm) < 0.05 * am, (am, bm)
+    assert abs(asd - bsd) < 0.08 * asd, (asd, bsd)
+    # positives are warped copies, negatives blended strangers — the
+    # separation ratio is the property the solvers train against
+    assert apos < aneg and bpos < bneg
+    assert abs(apos / aneg - bpos / bneg) < 0.1, (apos / aneg, bpos / bneg)

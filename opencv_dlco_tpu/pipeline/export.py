@@ -111,14 +111,22 @@ def emit_vgg_header(pr_filters: np.ndarray, pj: np.ndarray,
 
 
 def parse_vgg_header(text: str) -> Dict[str, np.ndarray]:
-    """Parse a vgg_generated_*.i header back into dense PR / PJ matrices."""
+    """Parse a vgg_generated_*.i header back into dense PR / PJ matrices.
+
+    Accepts both the reference's exported format (``static const``) and
+    the author's original MATLAB-era headers
+    (workspace/opencv/original/vgg_generated_{46,63,77}.i), which drop
+    the ``static`` qualifier.
+    """
     dims = {
         m.group(1): int(m.group(2))
-        for m in re.finditer(r"static const int (\w+) = (\d+);", text)
+        for m in re.finditer(r"(?:static\s+)?const int (\w+) = (\d+);",
+                             text)
     }
     arrays = {}
     for m in re.finditer(
-        r"static const unsigned int (\w+)\[\] =\s*\{([^}]*)\};", text, re.S
+        r"(?:static\s+)?const unsigned int (\w+)\[\] =\s*\{([^}]*)\};",
+        text, re.S,
     ):
         name = m.group(1)
         vals = [int(v, 16) for v in re.findall(r"0x[0-9a-fA-F]+", m.group(2))]

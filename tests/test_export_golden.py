@@ -106,3 +106,42 @@ def test_geometry_matches_published_dims(name, pr_model, row, pj_model):
         w_proj = f["W"][...]
     assert w_proj.shape == golden["PJ"].shape
     np.testing.assert_array_equal(w_proj, golden["PJ"])
+
+
+@requires_reference
+def test_matlab_originals_structural_goldens():
+    """The author's original MATLAB-era headers (VERDICT r4 next #7:
+    workspace/opencv/original/vgg_generated_{46,63,77}.i, an independently
+    produced lineage predating the C++ reference) must satisfy the same
+    structural contracts our parser/exporter enforce — and every original
+    pooling filter must exist in OUR generated candidate bank, tying
+    gen-poolregion parity to a second, independent artifact family."""
+    from opencv_dlco_tpu.ops.pool_regions import build_filter_bank
+    from opencv_dlco_tpu.utils.configs import PoolRegionConfig
+
+    _, _, bank = build_filter_bank(PoolRegionConfig())
+    bank_sq = (bank ** 2).sum(1)
+
+    for dim in (46, 63, 77):
+        with open(os.path.join(OPENCV_DIR, "original",
+                               f"vgg_generated_{dim}.i")) as f:
+            text = f.read()
+        mats = parse_vgg_header(text)  # RLE well-formedness asserted inside
+        pr, pj = mats["PR"], mats["PJ"]
+        # dim counts match the filename; PJ input is 8 channels per filter
+        assert pj.shape == (dim, pr.shape[0] * 8)
+        assert pr.shape[1] == 64 * 64
+        assert int((np.abs(pj).sum(axis=1) > 0).sum()) == dim
+        # normalised Gaussian pooling filters: each row sums to 1 exactly
+        np.testing.assert_allclose(pr.sum(axis=1), 1.0, atol=1e-5)
+        assert (np.abs(pr) > 0).sum(axis=1).min() >= 25  # real support
+        # PRidx dedup contract: selected filters are distinct, and every
+        # one is a member of our 40,960-filter candidate bank (float32
+        # tolerance) — cross-lineage gen-poolregion parity
+        seen = set()
+        for row in pr:
+            d = bank_sq - 2.0 * (bank @ row) + (row ** 2).sum()
+            j = int(np.argmin(d))
+            assert float(d[j]) < 1e-6
+            assert j not in seen, "duplicate selected filter"
+            seen.add(j)

@@ -274,6 +274,26 @@ def bench_pr_sweep(n_feat=5120, n_rows=50_000, batch=2048, steps=32,
                                        * p.dtype.itemsize * steps / HBM_BW),
                 f"{label}_mxu_floor": flops_per_call / PEAK_BF16_FLOPS,
             })
+        # single-program pipelined wide kernel (VERDICT r4 next #3): the
+        # (step, tile) iteration runs inside one program with manual
+        # double-buffered DMAs, removing the measured ~6-7 us
+        # per-program dispatch that bounded the grid version at ~4x the
+        # HBM floor. Same math (bit-identical in interpret mode,
+        # tests/test_fused_rda.py) and same VMEM plan.
+        from .ops.fused_rda import fused_block_train_wide_pipelined
+
+        if out.get("fused_wide_bf16_samples_per_sec"):
+            dt_p = _timeit(lambda: fused_block_train_wide_pipelined(
+                pos16, neg16, state.w, state.df_avg, state.t, mus,
+                gammas, key, batch=batch, n_steps=steps, tile_b=128))
+            eff_p = batch * steps * n_sweep / dt_p
+            out.update(
+                fused_wide_pipelined_bf16_samples_per_sec=eff_p,
+                fused_wide_pipelined_bf16_step_time=dt_p,
+                fused_wide_pipelined_bf16_vs_baseline=(
+                    eff_p / BASELINE_PR_SAMPLES_PER_SEC),
+                fused_wide_pipelined_bf16_mfu=mfu(dt_p),
+            )
     return out
 
 

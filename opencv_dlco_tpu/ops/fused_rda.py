@@ -334,6 +334,173 @@ def _fused_train_wide_kernel(offs_ref, scal_ref, pos_ref, neg_ref,
         df_out.wait()
 
 
+def _fused_train_wide_pipelined_kernel(offs_ref, scal_ref, pos_hbm,
+                                       neg_hbm, w_init_hbm, df_init_hbm,
+                                       mu_ref, gamma_ref, df_out_hbm,
+                                       pos_buf, neg_buf, w_s, df_s,
+                                       sem_pos, sem_neg, sem_state,
+                                       *, n_steps, n_tiles, tile_b):
+    """The wide kernel as ONE program with a manually double-buffered DMA
+    loop (VERDICT r4 next #3).
+
+    The grid version pays a fixed per-program cost on every (step, tile)
+    — measured ~6-7 us against a 3.2 us tile DMA and 3.4 us of MXU work,
+    which is exactly the S-independent 4x-over-floor overhead round 4
+    decomposed but did not remove. Here the (n_steps x n_tiles) iteration
+    runs inside a single program as a fori_loop with explicit async
+    copies: tile i+1's pos/neg DMAs are issued before tile i's compute,
+    so the program pays the dispatch cost once and the DMA/MXU overlap is
+    under our control instead of the grid pipeliner's.
+    """
+    f_dim = w_s.shape[1]
+    f_chunk = _wide_f_chunk(f_dim)
+    total = n_steps * n_tiles
+    batch_f = scal_ref[1].astype(jnp.float32)
+    t0 = scal_ref[0].astype(jnp.float32)
+
+    w_in = pltpu.make_async_copy(w_init_hbm, w_s, sem_state)
+    w_in.start()
+    df_in = pltpu.make_async_copy(df_init_hbm, df_s, sem_state)
+
+    def tile_dma(slot, i):
+        step = i // n_tiles
+        tile = i % n_tiles
+        rp = (offs_ref[step, 0] + tile) * tile_b
+        rn = (offs_ref[step, 1] + tile) * tile_b
+        return (pltpu.make_async_copy(
+                    pos_hbm.at[pl.ds(rp, tile_b), :], pos_buf.at[slot],
+                    sem_pos.at[slot]),
+                pltpu.make_async_copy(
+                    neg_hbm.at[pl.ds(rn, tile_b), :], neg_buf.at[slot],
+                    sem_neg.at[slot]))
+
+    for d in tile_dma(0, 0):
+        d.start()
+    w_in.wait()
+    df_in.start()
+    df_in.wait()
+
+    def body(i, _):
+        step = i // n_tiles
+        tile = i % n_tiles
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < total)
+        def _():
+            for d in tile_dma(jax.lax.rem(i + 1, 2), i + 1):
+                d.start()
+
+        for d in tile_dma(slot, i):
+            d.wait()
+
+        tf = t0 + step.astype(jnp.float32) * batch_f
+        tnf = tf + batch_f
+
+        @pl.when(tile == 0)
+        def _():
+            df_s[...] = df_s[...] * (tf / tnf)
+
+        fd = pos_buf[slot] - neg_buf[slot]
+        f = jnp.dot(fd, w_s[...].T, preferred_element_type=jnp.float32)
+        viol = (f > -1.0).astype(fd.dtype)
+        for c0 in range(0, f_dim, f_chunk):
+            df_s[:, c0:c0 + f_chunk] += jnp.dot(
+                viol.T, fd[:, c0:c0 + f_chunk],
+                preferred_element_type=jnp.float32) / tnf
+
+        @pl.when(tile == n_tiles - 1)
+        def _():
+            for c0 in range(0, f_dim, f_chunk):
+                w_new = jnp.maximum(
+                    0.0, -jnp.sqrt(tnf) / gamma_ref[...]
+                    * (df_s[:, c0:c0 + f_chunk] + mu_ref[...]))
+                w_s[:, c0:c0 + f_chunk] = w_new.astype(w_s.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+    df_out = pltpu.make_async_copy(df_s, df_out_hbm, sem_state)
+    df_out.start()
+    df_out.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "n_steps", "tile_b",
+                                    "interpret"))
+def fused_block_train_wide_pipelined(
+        pos: jax.Array, neg: jax.Array,
+        w: jax.Array, df_avg: jax.Array, t: jax.Array,
+        mu: jax.Array, gamma: jax.Array,
+        key: jax.Array, *, batch: int, n_steps: int,
+        tile_b: int = 128, interpret: bool = False):
+    """fused_block_train_wide through the single-program pipelined kernel.
+
+    Identical sampling distribution and update math (same draw() stream
+    given the same key); per-tile program-dispatch overhead removed.
+    Returns (w, df_avg, t_new).
+    """
+    if batch % tile_b:
+        raise ValueError(f"batch {batch} not a multiple of tile_b {tile_b}")
+    n_tiles = batch // tile_b
+    f_dim = pos.shape[1]
+    s = w.shape[0]
+    n_pos, n_neg = pos.shape[0], neg.shape[0]
+
+    keys = jax.random.split(key, n_steps)
+
+    def draw(k):
+        kp, kn = jax.random.split(k)
+        ip = jax.random.randint(kp, (), 0, (n_pos - batch) // tile_b + 1)
+        ineg = jax.random.randint(kn, (), 0, (n_neg - batch) // tile_b + 1)
+        return jnp.stack([ip, ineg]).astype(jnp.int32)
+
+    offs = jax.vmap(draw)(keys)                            # (n_steps, 2)
+    scal = jnp.asarray([t, jnp.int32(batch)], jnp.int32)
+
+    kernel = functools.partial(
+        _fused_train_wide_pipelined_kernel,
+        n_steps=n_steps, n_tiles=n_tiles, tile_b=tile_b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # pos (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # neg (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # w init
+            pl.BlockSpec(memory_space=pl.ANY),             # df init
+            pl.BlockSpec((s, 1), lambda g, offs, sc: (0, 0)),
+            pl.BlockSpec((s, 1), lambda g, offs, sc: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_b, f_dim), pos.dtype),     # pos tiles
+            pltpu.VMEM((2, tile_b, f_dim), pos.dtype),     # neg tiles
+            pltpu.VMEM((s, f_dim), pos.dtype),             # resident w
+            pltpu.VMEM((s, f_dim), jnp.float32),           # resident df
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    df_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, f_dim), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * f_dim * s * n_steps,
+            bytes_accessed=2 * batch * f_dim * pos.dtype.itemsize * n_steps,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(offs, scal, pos, neg, w.astype(pos.dtype), df_avg,
+      mu.reshape(s, 1), gamma.reshape(s, 1))
+    t_new = t + jnp.int32(batch * n_steps)
+    tnf = t_new.astype(jnp.float32)
+    w_out = jnp.maximum(
+        0.0, -jnp.sqrt(tnf) / gamma[:, None] * (df_out + mu[:, None]))
+    return w_out, df_out, t_new
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch", "n_steps", "tile_b",
                                     "interpret"))

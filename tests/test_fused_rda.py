@@ -236,3 +236,32 @@ def test_fused_block_train_matches_stepwise():
                                rtol=3e-5, atol=3e-4)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_r),
                                rtol=3e-5, atol=3e-4)
+
+
+def test_pipelined_wide_matches_grid_wide():
+    """The single-program pipelined wide kernel (manual double-buffered
+    DMA loop, VERDICT r4 next #3) must reproduce the grid wide kernel
+    exactly: same key -> same tile-aligned offset stream -> identical
+    (w, df, t). On CPU this runs both in interpret mode; on the chip it
+    compares the two compiled Mosaic programs."""
+    from opencv_dlco_tpu.ops.fused_rda import (
+        fused_block_train_wide, fused_block_train_wide_pipelined)
+
+    rng = np.random.default_rng(23)
+    n, f, batch, tile_b, n_steps, s = 1024, 256, 256, 128, 6, 8
+    pos = jnp.asarray(np.abs(rng.normal(1.0, 0.5, (n, f))).astype(np.float32))
+    neg = jnp.asarray(np.abs(rng.normal(1.2, 0.5, (n, f))).astype(np.float32))
+    mu = jnp.asarray(np.geomspace(0.005, 0.08, s), jnp.float32)
+    gamma = jnp.asarray(np.geomspace(0.02, 0.5, s), jnp.float32)
+    key = jax.random.PRNGKey(29)
+    args = (pos, neg, jnp.zeros((s, f), jnp.float32),
+            jnp.zeros((s, f), jnp.float32), jnp.int32(0), mu, gamma, key)
+    kw = dict(batch=batch, n_steps=n_steps, tile_b=tile_b,
+              interpret=not ON_TPU)
+    w1, df1, t1 = fused_block_train_wide(*args, **kw)
+    w2, df2, t2 = fused_block_train_wide_pipelined(*args, **kw)
+    assert int(t1) == int(t2) == batch * n_steps
+    np.testing.assert_allclose(np.asarray(df1), np.asarray(df2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               rtol=1e-6, atol=1e-7)

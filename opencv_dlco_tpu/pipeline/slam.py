@@ -1071,6 +1071,7 @@ def _global_descriptors(feats) -> np.ndarray:
 def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
                          intrinsics, cfg: SlamConfig,
                          key: Optional[jax.Array] = None,
+                         stats: Optional[dict] = None,
                          ) -> List[Tuple[int, int, np.ndarray, np.ndarray]]:
     """Find loop closures among keyframes: retrieval + geometric verify.
 
@@ -1079,6 +1080,11 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     translation scale is recovered by depth-ratio voting against the
     odometry landmarks of frame i; candidate pairs whose scale cannot be
     established are dropped (a mis-scaled loop edge is worse than none).
+
+    ``stats``: optional dict filled with per-gate rejection counters
+    (n_candidates, rej_inliers, rej_ratio, rej_vote_b, rej_vote_a,
+    rej_scale, rej_path, accepted, deduped) — the seed-robustness study's
+    instrument (tools/slam_study.py).
     """
     if key is None:
         key = jax.random.PRNGKey(1)
@@ -1111,6 +1117,11 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     cand = [(int(kfs[b]), int(kfs[a])) for a, b in zip(a_pos, b_pos)]
 
     ests, usable = batched_pair_poses(feats, cand, intrinsics, cfg, key)
+    if stats is None:
+        stats = {}
+    stats.update(n_candidates=len(cand), rej_inliers=0, rej_ratio=0,
+                 rej_vote_b=0, rej_vote_a=0, rej_scale=0, rej_path=0,
+                 accepted=0, deduped=0)
     # odometry path length between two frames, in propagated-scale units —
     # the denominator of the self-scaling re-visit test below
     step_len = np.asarray([float(np.linalg.norm(p.translation))
@@ -1119,11 +1130,13 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     accepted = []
     for (fb, fa), est, u in zip(cand, ests, usable):
         if not u or est.n_inliers < cfg.loop_min_inliers:
+            stats["rej_inliers"] += 1
             continue
         # inlier RATIO gate: a wide-baseline candidate can reach the
         # absolute inlier count on sheer match volume while most matches
         # are wrong — those are exactly the scale-poisoned edges
         if est.n_inliers < cfg.loop_min_inlier_ratio * max(est.n_matches, 1):
+            stats["rej_ratio"] += 1
             continue
         # scale: est.points3d live in frame-fb coords with unit-baseline
         # scale; compare with the odometry landmark depths of pair
@@ -1135,6 +1148,7 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
             max(cfg.min_scale_points, cfg.loop_min_vote_points))
         if scale is None or (cfg.loop_vote_max_mad > 0
                              and mad > cfg.loop_vote_max_mad):
+            stats["rej_vote_b"] += 1
             continue
         # second, independent vote at the OTHER endpoint: the same loop
         # landmarks expressed in frame fa vs the odometry depths of pair
@@ -1158,15 +1172,18 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
                 max(cfg.min_scale_points, cfg.loop_min_vote_points))
             if scale_a is None or (cfg.loop_vote_max_mad > 0
                                    and mad_a > cfg.loop_vote_max_mad):
+                stats["rej_vote_a"] += 1
                 continue
             ratio = max(scale_a, scale) / min(scale_a, scale)
             if cfg.use_sim3:
                 if ratio > cfg.loop_scale_sanity:
+                    stats["rej_scale"] += 1
                     continue
                 s_z = float(scale / scale_a)   # zero-residual convention
             else:
                 if (cfg.loop_scale_consistency > 0
                         and ratio > cfg.loop_scale_consistency):
+                    stats["rej_scale"] += 1
                     continue
                 scale = float(np.sqrt(scale_a * scale))
         # re-visit test (self-scaling, replaces any fixed frame-gap
@@ -1179,6 +1196,7 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
             direct = scale * float(np.linalg.norm(est.translation))
             path = float(cum_len[min(fa, len(step_len))] - cum_len[fb])
             if direct >= cfg.loop_path_ratio * path:
+                stats["rej_path"] += 1
                 continue
         # est maps frame-fb -> frame-fa; the edge measurement is
         # i_T_j = inv([R | s*t]) with i=fb, j=fa.
@@ -1193,10 +1211,12 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
     # per (i, j) neighbourhood.
     radius = cfg.loop_cluster_frames or max(1, cfg.loop_gap // 2)
     accepted.sort(key=lambda e: -e[0])
+    stats["accepted"] = len(accepted)
     edges: List[Tuple[int, int, np.ndarray, np.ndarray, float]] = []
     for n_inl, fb, fa, r_e, t_e, s_e in accepted:
         if any(abs(fb - i) <= radius and abs(fa - j) <= radius
                for i, j, *_ in edges):
+            stats["deduped"] += 1
             continue
         edges.append((fb, fa, r_e, t_e, s_e))
     return edges
@@ -1573,7 +1593,8 @@ def refine_with_pose_graph(result: SlamResult,
 
 
 def run_back_end(odo: SlamResult, feats, intrinsics, cfg: SlamConfig,
-                 key: Optional[jax.Array] = None, mesh=None) -> SlamResult:
+                 key: Optional[jax.Array] = None, mesh=None,
+                 loop_stats: Optional[dict] = None) -> SlamResult:
     """Keyframes -> loop detection -> windowed BA -> pose graph.
 
     When odometry produced a scale backbone, the WHOLE back end runs on
@@ -1598,7 +1619,8 @@ def run_back_end(odo: SlamResult, feats, intrinsics, cfg: SlamConfig,
         feats_n = [feats[int(n)] for n in nodes]
         kf_local = select_keyframes(node_traj, node_cfg)
         loops_n = detect_loop_closures(feats_n, kf_local, node_traj,
-                                       intrinsics, node_cfg, key=key)
+                                       intrinsics, node_cfg, key=key,
+                                       stats=loop_stats)
         overrides = windowed_ba(node_traj, feats_n, intrinsics, node_cfg,
                                 mesh=mesh)
         node_traj.keyframes = kf_local
@@ -1626,7 +1648,8 @@ def run_back_end(odo: SlamResult, feats, intrinsics, cfg: SlamConfig,
             nodes=nodes, bb_pairs=odo.bb_pairs)
 
     kf = select_keyframes(odo, cfg)
-    loops = detect_loop_closures(feats, kf, odo, intrinsics, cfg, key=key)
+    loops = detect_loop_closures(feats, kf, odo, intrinsics, cfg, key=key,
+                                 stats=loop_stats)
     overrides = windowed_ba(odo, feats, intrinsics, cfg, mesh=mesh)
     odo.keyframes = kf
     odo.loop_edges = loops

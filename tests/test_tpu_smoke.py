@@ -246,3 +246,51 @@ def test_slam_short_row_meets_bar_hw():
     span = float(np.linalg.norm(centers_gt.max(0) - centers_gt.min(0)))
     ate_ref = ate_rmse(refined.translations, centers_gt) / span
     assert ate_ref < 0.10, f"48-frame chip ATE {ate_ref:.4f} >= 0.10x span"
+
+
+def test_pipelined_wide_rda_hw():
+    """The single-program pipelined wide kernel (manual double-buffered
+    DMA fori_loop — VERDICT r4 next #3) vs the grid wide kernel, both
+    COMPILED on the chip: same key -> same offset stream -> identical
+    math; hardware checks the DMA/semaphore schedule is race-free."""
+    from opencv_dlco_tpu.models.pr_rda import pr_init
+    from opencv_dlco_tpu.ops.fused_rda import (
+        fused_block_train_wide, fused_block_train_wide_pipelined)
+
+    key = jax.random.PRNGKey(13)
+    kp, kn = jax.random.split(key)
+    n_rows, n_feat, s_axis = 4096, 640, 32
+    pos = jnp.abs(1.0 + 0.5 * jax.random.normal(kp, (n_rows, n_feat),
+                                                jnp.bfloat16))
+    neg = jnp.abs(1.2 + 0.5 * jax.random.normal(kn, (n_rows, n_feat),
+                                                jnp.bfloat16))
+    mu = jnp.linspace(0.01, 0.04, s_axis).astype(jnp.float32)
+    gamma = jnp.linspace(0.05, 0.2, s_axis).astype(jnp.float32)
+    st = pr_init(n_feat, s_axis)
+    args = (pos, neg, st.w, st.df_avg, st.t, mu, gamma, key)
+    w_g, df_g, t_g = fused_block_train_wide(
+        *args, batch=1024, n_steps=4, tile_b=128)
+    w_p, df_p, t_p = fused_block_train_wide_pipelined(
+        *args, batch=1024, n_steps=4, tile_b=128)
+    assert int(t_g) == int(t_p)
+    np.testing.assert_allclose(np.asarray(df_g), np.asarray(df_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_p),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_knn_wide_train_blocks_hw():
+    """The widened bf16 train-block tiling (tb=2048) must keep match
+    identity vs the HIGHEST XLA oracle on a problem big enough to span
+    several wide blocks."""
+    from opencv_dlco_tpu.ops.knn import knn_match
+    from opencv_dlco_tpu.ops.knn_pallas import knn2_fused
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2048, 64)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(8192, 64)).astype(np.float32))
+    d_f, i_f = knn2_fused(q, t, bf16=True)
+    d_r, i_r = knn_match(q, t, k=2, block=4096,
+                         precision=jax.lax.Precision.HIGHEST, fused=False)
+    ident = float(np.mean(np.asarray(i_f) == np.asarray(i_r)))
+    assert ident >= 0.999, f"match identity {ident:.5f} under wide tiles"

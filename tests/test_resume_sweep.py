@@ -150,3 +150,25 @@ def test_pjlearn_kill_resume_identical(ws_pair):
         np.testing.assert_array_equal(sa.read("W"), sb.read("W"))
         np.testing.assert_array_equal(sa.read("A"), sb.read("A"))
         assert sa.get_meta("best") == sb.get_meta("best")
+
+
+def test_pr_sweep_coarse_ckpt_resume_identical(tmp_path_factory):
+    """ckpt_every > 1 (the reference-budget e2e cadence): interrupting at
+    a NON-checkpoint log resumes from the last saved wave, replays the
+    lost periods deterministically, and the final artifacts are identical
+    to an uninterrupted run — the 'loses at most ckpt_every log periods'
+    contract of run_pr_sweep."""
+    a = _make_ws(str(tmp_path_factory.mktemp("coarse_a")))
+    b = _make_ws(str(tmp_path_factory.mktemp("coarse_b")))
+    res_a = run_pr_sweep(a, "sy", PR_GRID, PR_BASE, ckpt_every=2)
+    with pytest.raises(SweepInterrupted):
+        # 4 log periods total; stop after 3 -> last even checkpoint is
+        # wave 2, log 3 replays on resume
+        run_pr_sweep(b, "sy", PR_GRID, PR_BASE, _stop_after_logs=3,
+                     ckpt_every=2)
+    res_b = run_pr_sweep(b, "sy", PR_GRID, PR_BASE, ckpt_every=2)
+    assert [(r["mu"], r["gamma"], round(r["obj"], 7)) for r in res_a] == \
+        [(r["mu"], r["gamma"], round(r["obj"], 7)) for r in res_b]
+    hist_a, hist_b = _read_histories(res_a), _read_histories(res_b)
+    for c in hist_a:
+        np.testing.assert_array_equal(hist_a[c], hist_b[c])

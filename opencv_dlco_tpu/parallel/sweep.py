@@ -93,6 +93,43 @@ def _sweep_signature(combos, base, n_feat, extra=None):
     }
 
 
+def _completed_sweep_results(ws, subdir: str, runs, combos, n_iter: int,
+                             sidecar: str):
+    """Stage-level idempotence for whole sweeps (the reference skips a
+    run iff its log carries the final-iteration line,
+    04-prlearn.sh:17-22): if EVERY combo artifact exists with the
+    done_iters marker for this budget and no resume sidecar is pending,
+    return reconstructed per-combo summaries instead of retraining —
+    a re-invoked run_full (e.g. after a crash in a later stage) must
+    not pay the sweep again. Any mismatch -> None (train normally;
+    the fresh-start path rewrites the artifacts)."""
+    if os.path.exists(sidecar) or jax.process_count() > 1:
+        return None
+    results = []
+    for run, c in zip(runs, combos):
+        path = ws.path(subdir, f"{run}.h5")
+        if not os.path.exists(path):
+            return None
+        try:
+            with ArtifactStore(path, "r") as st:
+                if st.get_meta("done_iters") != f"{n_iter}":
+                    return None
+                rec = dict(mu=c[0], gamma=c[1], model=path,
+                           obj=np.inf, nnz=0)
+                best = st.get_meta("best") or {}
+                rec.update({k: best[k] for k in ("auc", "fpr95")
+                            if k in best})
+                if st.exists("w"):
+                    rec["nnz"] = int(np.sum(st.read("w")[-1] > 0.0))
+                if st.exists("W"):
+                    w_np = st.read("W")
+                    rec["dim"] = int(np.sum(np.any(w_np != 0.0, axis=1)))
+                results.append(rec)
+        except OSError:
+            return None
+    return results
+
+
 def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
                  dist_path: Optional[str] = None,
                  _stop_after_logs: Optional[int] = None,
@@ -113,6 +150,13 @@ def run_pr_sweep(ws, ds: str, grid: PRSweepGrid, base: PRLearnConfig,
     s = len(combos)
     mus = jnp.asarray([c[0] for c in combos], jnp.float32)
     gammas = jnp.asarray([c[1] for c in combos], jnp.float32)
+
+    done = _completed_sweep_results(
+        ws, "pr-learn", [f"{ds}-{c[0]}-{c[1]}-pr" for c in combos],
+        combos, base.n_iter,
+        sidecar=ws.path("pr-learn", f"{ds}-sweep-ckpt.h5"))
+    if done is not None:
+        return done
 
     data = ws._load_split(
         dist_path or ws.dist_path(ds),
@@ -299,6 +343,13 @@ def run_pj_sweep(ws, unproj_path: str, grid: PJSweepGrid,
 
     if run_label is None:
         run_label = os.path.basename(unproj_path).replace("-unproj.h5", "")
+    done = _completed_sweep_results(
+        ws, "pj-learn", [f"{run_label}-{m}-{g}-pj" for m, g in combos],
+        combos, base.n_iter,
+        sidecar=ws.path("pj-learn", f"{run_label}-sweep-ckpt.h5"))
+    if done is not None:
+        done.sort(key=lambda r: r.get("fpr95", np.inf))
+        return done
     data = ws._load_split(unproj_path, base.train_frac, base.seed)
     n_feat = data["pos_trn"].shape[1]
     check_device_budget(

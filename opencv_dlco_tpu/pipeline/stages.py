@@ -450,6 +450,12 @@ class Workspace:
                 labels_j = jnp.asarray(labels)
                 for mpath in model_paths:
                     with ArtifactStore(mpath, "r") as st:
+                        if not st.exists("w"):
+                            # a sweep entry that never saved an iterate
+                            # under the MaxDim gate — the reference's
+                            # pr-stats likewise only sees runs that
+                            # checkpointed at least one w
+                            continue
                         hist = st.read("w")
                     # all rows of the history share one GEMM + one batched
                     # argsort (vs the reference's per-row GEMM + scalar ROC

@@ -279,3 +279,51 @@ def test_rda_precision_mode_quality():
     assert k >= 3
     assert len(set(np.argsort(w_hi)[-k:].tolist())
                & set(np.argsort(w_lo)[-k:].tolist())) >= int(0.7 * k)
+
+
+def test_pr_sweep_completed_skip(tmp_path):
+    """A COMPLETED sweep must not retrain when re-invoked (run_full can
+    be re-entered after a crash in a later stage; the reference skips
+    runs whose log carries the final-iteration line)."""
+    import os
+    import time
+
+    from opencv_dlco_tpu.parallel.sweep import run_pr_sweep
+    from opencv_dlco_tpu.pipeline.stages import Workspace
+    from opencv_dlco_tpu.utils.configs import (PoolRegionConfig,
+                                               PRLearnConfig, PRSweepGrid)
+    from opencv_dlco_tpu.data.store import ArtifactStore
+    from opencv_dlco_tpu.data.synthetic import synth_patch_pairs
+
+    ws = Workspace(str(tmp_path),
+                   pool_cfg=PoolRegionConfig(nr=6, nphi=2, nsigma=3),
+                   pair_block=64, progress=False)
+    rng = np.random.default_rng(11)
+    p1, p2, labels = synth_patch_pairs(rng, n_pairs=128)
+    n = len(labels)
+    indices = np.zeros((n, 4), np.int32)
+    indices[:, 0] = np.arange(n)
+    indices[:, 2] = np.arange(n) + n
+    indices[:, 1] = np.arange(n)
+    indices[:, 3] = np.where(labels == 1, np.arange(n), np.arange(n) + n)
+    with ArtifactStore(ws.path("dataset", "sy.h5"), "w") as st:
+        st.write("Indices", indices)
+        st.write("Patches", np.concatenate([p1, p2]), chunk_rows=256)
+    ws.compdist("sy")
+    grid = PRSweepGrid(mus=(0.005,), gammas=(0.05, 0.2))
+    cfg = PRLearnConfig(n_iter=4000, log_step=2000, batch=128,
+                        max_dim=10_000)
+    res1 = run_pr_sweep(ws, "sy", grid, cfg)
+    mtimes = {r["model"]: os.path.getmtime(r["model"]) for r in res1}
+    t0 = time.perf_counter()
+    res2 = run_pr_sweep(ws, "sy", grid, cfg)
+    assert time.perf_counter() - t0 < 2.0, "completed sweep retrained"
+    assert {r["model"] for r in res2} == set(mtimes)
+    for r in res2:
+        assert os.path.getmtime(r["model"]) == mtimes[r["model"]]
+    # a different budget is a DIFFERENT sweep: must retrain
+    res3 = run_pr_sweep(ws, "sy", grid,
+                        PRLearnConfig(n_iter=8000, log_step=2000,
+                                      batch=128, max_dim=10_000))
+    assert all(os.path.getmtime(r["model"]) > mtimes[r["model"]]
+               for r in res3)

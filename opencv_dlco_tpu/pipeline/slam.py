@@ -117,6 +117,14 @@ class SlamConfig:
     # about a leg (below it, the other leg explains the skip alone and
     # the residual ordering is noise — wrong flips on straight scenes)
     odo_flip_min_coeff: float = 0.15
+    # rolling-median velocity prior on chained hop lengths, CONDITIONAL
+    # on a low-quality chain vote (see _chain_scales): clamp the hop
+    # into [med/c, med*c] of the last odo_vel_window accepted hops only
+    # when the vote carries no signal (missing or MAD > 0.3); 0
+    # disables. On-chip multi-seed study: flips the (48, seed 99) cell
+    # under the bar while leaving good-vote chains untouched.
+    odo_vel_clamp: float = 1.5
+    odo_vel_window: int = 5
     # flip votes additionally require the two chain legs to be
     # ANTIPARALLEL (u.v < -this): a real sign flip points against its
     # neighbour, while near-collinear legs make the sign test
@@ -142,6 +150,43 @@ class SlamConfig:
     loop_path_ratio: float = 0.6
     loop_vote_max_mad: float = 0.3      # max log-ratio MAD of a scale vote
     loop_min_vote_points: int = 12      # min depth-ratio votes per endpoint
+    # merged-map retry of a failed endpoint vote: forward-pair depths
+    # first (unchanged behaviour when they pass), then one retry on the
+    # forward+backward merged map (_endpoint_depths) — the multi-seed
+    # study's fix for vote-count loop misses (seeds 7/99 at 48 frames)
+    loop_vote_merge: bool = True
+    # Sim(3) map-alignment fallback when the depth-ratio vote fails: a
+    # true revisit has a near-zero loop baseline, so the loop pair's OWN
+    # triangulated depths (which the vote divides by) are junk there —
+    # the study's measured seed-miss mode. The fallback aligns the two
+    # endpoints' backprojected ODOMETRY landmarks (trimmed Umeyama) and
+    # uses the loop pair only for correspondences; gated on alignment
+    # inliers, relative RMS, and rotation agreement with the 2-view
+    # estimate (radians). Sim(3) graphs only — an SE(3) graph cannot
+    # absorb the relative-scale measurement this path produces.
+    loop_sim3_fallback: bool = True
+    loop_sim3_max_res: float = 0.15     # RMS / median depth of alignment
+    loop_sim3_max_rot: float = 0.25    # max angle vs essential-matrix R
+    # weak-vote acceptance: at a TRUE revisit the loop pair's near-zero
+    # baseline makes its triangulated depths — the vote denominators —
+    # inherently noisy, so the MAD gate rejects exactly the
+    # drift-collapsing closures (multi-seed study: MAD 0.34-0.65 on the
+    # ground-truth-closest candidates while seed 2215 slips under 0.3).
+    # A vote that fails the strict MAD gate but stays under
+    # loop_vote_weak_mad is kept as a WEAK scale measurement; the edge
+    # is then admitted only as a strong revisit — its direct hop must be
+    # under loop_weak_path_ratio x the odometry path (vs the normal
+    # loop_path_ratio) — where magnitude precision is secondary to the
+    # drift collapse and the DCS kernel + soft Sim(3) scale weight
+    # absorb the residual scale noise.
+    # the weak cap is deliberately high: the decision to ADMIT a weak
+    # edge rests on overwhelming geometric consensus (the inlier-ratio
+    # floor below — measured revisits sit at 0.84-0.93 while mid-
+    # sequence junk is under 0.7) plus the revisit margin; the MAD cap
+    # only discards votes whose median carries no information at all
+    loop_vote_weak_mad: float = 1.0
+    loop_weak_path_ratio: float = 0.3
+    loop_weak_min_inlier_ratio: float = 0.75
     loop_weight: float = 1.0            # pose-graph weight of loop edges
     use_sim3: bool = True               # Sim(3) graph when loops detected
     # robust pose-graph kernel (only engaged when loop edges are present:
@@ -443,25 +488,135 @@ def _depth_map(kp_idx, depths_z, n_keypoints: int) -> np.ndarray:
     return out
 
 
+def _endpoint_depths(pairs: Sequence["PairEstimate"], n_kp: int,
+                     f: int) -> np.ndarray:
+    """Merged odometry depth map for frame f's keypoints: forward pair
+    (f, f+1) landmarks, NaN-filled from the BACKWARD pair (f-1, f)'s
+    landmarks transformed into frame f (exactly _chain_scales' pts_next,
+    so both sources are in the same chained-scale units — the chaining
+    step median-matched them on the shared frame). Doubles the depth
+    coverage of a loop-closure scale vote without loosening any gate:
+    the vote pool at a keyframe is otherwise only the keypoints that
+    happen to be inliers of ONE odometry pair, and the multi-seed study
+    measured exactly that thinness (vote-count failures) deciding
+    whether a true loop closes (tools/slam_study.py, seeds 7/99)."""
+    fwd = (_depth_map(pairs[f].kp_prev_idx, pairs[f].points3d[:, 2], n_kp)
+           if f < len(pairs) else np.full(n_kp, np.nan, np.float64))
+    if f >= 1:
+        eb = pairs[f - 1]
+        pts_f = eb.points3d @ eb.rotation.T + eb.translation
+        back = _depth_map(eb.kp_next_idx, pts_f[:, 2], n_kp)
+        fwd = np.where(np.isnan(fwd), back, fwd)
+    return fwd
+
+
+def _umeyama_sim3(src: np.ndarray, dst: np.ndarray):
+    """Closed-form Sim(3) (s, R, t) minimising ||dst - (s R src + t)||^2
+    (Umeyama 1991) — host numpy, point counts are loop-inlier sized."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    xs, xd = src - mu_s, dst - mu_d
+    cov = xd.T @ xs / len(src)
+    u, d, vt = np.linalg.svd(cov)
+    sgn = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        sgn[2, 2] = -1.0
+    rot = u @ sgn @ vt
+    var_s = float((xs ** 2).sum()) / len(src)
+    s = float((d * np.diag(sgn)).sum() / max(var_s, 1e-12))
+    t = mu_d - s * (rot @ mu_s)
+    return s, rot, t
+
+
+def _sim3_from_landmarks(yx_b, yx_a, z_b, z_a, kp_b, kp_a, intrinsics,
+                         min_points: int):
+    """Sim(3) loop edge by 3D-3D alignment of ODOMETRY landmarks.
+
+    The depth-ratio vote needs the loop pair's own triangulations, which
+    are inherently junk at a true revisit (near-zero direct baseline —
+    the multi-seed study's measured failure: votes plentiful but MAD
+    0.34-0.65 on the ground-truth-closest candidates). This path uses
+    the loop pair ONLY for correspondences: the matched keypoints are
+    backprojected through each endpoint's own odometry depth map (wide
+    odometry baselines, clean depths), and a trimmed Umeyama aligns the
+    two local point clouds — scale, rotation and translation of the
+    fb_T_fa closure in one solve (ORB-SLAM's Sim(3) closure transform
+    computed map-to-map, Strasdat-style). Returns (s, R, t, n_inliers,
+    rel_rms) with X_b ~= s R X_a + t, or None if underdetermined."""
+    zb, za = z_b[kp_b], z_a[kp_a]
+    ok = (np.isfinite(zb) & np.isfinite(za) & (zb > 1e-6) & (za > 1e-6))
+    if int(ok.sum()) < min_points:
+        return None
+    fx, fy, cx, cy = np.asarray(intrinsics, np.float64)
+
+    def backproj(yx, kp, z):
+        y, x = yx[kp, 0].astype(np.float64), yx[kp, 1].astype(np.float64)
+        return np.stack([(x - cx) / fx * z, (y - cy) / fy * z, z], -1)
+
+    pts_b = backproj(yx_b, kp_b[ok], zb[ok])
+    pts_a = backproj(yx_a, kp_a[ok], za[ok])
+    keep = np.ones(len(pts_b), bool)
+    s, rot, t = 1.0, np.eye(3), np.zeros(3)
+    res = np.zeros(len(pts_b))
+    for _ in range(3):                       # trimmed IRLS, 3 rounds
+        s, rot, t = _umeyama_sim3(pts_a[keep], pts_b[keep])
+        res = np.linalg.norm(pts_b - (s * pts_a @ rot.T + t), axis=-1)
+        nxt = res <= 3.0 * max(float(np.median(res[keep])), 1e-9)
+        if int(nxt.sum()) < min_points:
+            break
+        keep = nxt
+    n_in = int(keep.sum())
+    if n_in < min_points:
+        return None
+    rms = float(np.sqrt((res[keep] ** 2).mean()))
+    depth_scale = float(np.median(pts_b[keep][:, 2]))
+    return s, rot, t, n_in, rms / max(abs(depth_scale), 1e-9)
+
+
 def _chain_scales(pairs: Sequence[PairEstimate], n_kp: int,
-                  min_scale_points: int) -> None:
+                  min_scale_points: int, vel_window: int = 0,
+                  vel_clamp: float = 0.0, vote_mad_gate: float = 0.3
+                  ) -> None:
     """Monocular scale chaining in place (host, vectorised per pair):
     rescale pair k so landmarks of the shared middle frame agree in depth
-    with pair k-1 (median depth ratio over common keypoints)."""
+    with pair k-1 (median depth ratio over common keypoints).
+
+    ``vel_clamp`` > 0 adds a CONDITIONAL robust velocity prior: when a
+    chain vote is low-quality (missing, or log-ratio MAD above
+    ``vote_mad_gate``), the hop length is clamped into [med/c, med*c]
+    of the rolling median of the last ``vel_window`` hops. Good votes
+    pass through untouched — the multi-seed study measured both failure
+    directions: junk votes random-walk the hop lengths (192-frame
+    scene, hop ratios 0.23-2.36 vs ground truth), while an
+    UNconditional clamp overrides sound votes and degraded two
+    previously-passing cells. The conditional form is the standard
+    monocular smooth-motion assumption applied only where the data
+    carries no signal."""
     prev_depths: Optional[np.ndarray] = None  # (K,) z per kp of cur frame
     prev_scale = 1.0
+    hops: List[float] = []
     for est in pairs:
         if prev_depths is not None:
-            scale = _median_depth_ratio(prev_depths, est.kp_prev_idx,
-                                        est.points3d, min_scale_points)
+            scale, _, mad = _depth_ratio_stats(
+                prev_depths, est.kp_prev_idx, est.points3d,
+                min_scale_points)
+            low_quality = scale is None or (
+                vote_mad_gate > 0 and mad > vote_mad_gate)
             if scale is None:
                 scale = prev_scale  # carry previous (drift, but no crash)
             # smooth motion bounds consecutive applied scales: a jump
             # beyond 2x is depth-voting noise, clamp against it
             scale = float(np.clip(scale, 0.5 * prev_scale, 2.0 * prev_scale))
+            if vel_clamp > 0 and low_quality and len(hops) >= 3:
+                t_norm = float(np.linalg.norm(est.translation))
+                med = float(np.median(hops[-vel_window:] if vel_window
+                                      else hops))
+                if t_norm > 1e-12 and med > 1e-12:
+                    scale = float(np.clip(scale, med / vel_clamp / t_norm,
+                                          med * vel_clamp / t_norm))
             prev_scale = scale
             est.translation = est.translation * scale
             est.points3d = est.points3d * scale
+        hops.append(float(np.linalg.norm(est.translation)))
         # landmarks expressed in frame i+1 for the next overlap, keyed by
         # this pair's match-target keypoint (no re-matching needed):
         # X_{i+1} = R X_i + t
@@ -500,7 +655,8 @@ def _node_depth_maps(chain_pairs: Sequence[PairEstimate],
 
 
 def _plain_hop_lengths(pairs: Sequence[PairEstimate], n_kp: int,
-                       min_scale_points: int) -> np.ndarray:
+                       min_scale_points: int, vel_window: int = 0,
+                       vel_clamp: float = 0.0) -> np.ndarray:
     """Hop lengths |t_k| of the scale chain run on UNREPAIRED copies of
     the pair estimates (the keyframe-selection decoupling of
     SlamResult.plain_hops; the copies leave the real chain untouched)."""
@@ -512,7 +668,7 @@ def _plain_hop_lengths(pairs: Sequence[PairEstimate], n_kp: int,
                            n_inliers=est.n_inliers,
                            n_matches=est.n_matches)
               for est in pairs]
-    _chain_scales(copies, n_kp, min_scale_points)
+    _chain_scales(copies, n_kp, min_scale_points, vel_window, vel_clamp)
     return np.asarray([float(np.linalg.norm(c.translation))
                        for c in copies])
 
@@ -924,12 +1080,15 @@ def run_odometry(frames, intrinsics, model: VGGDescriptor,
         plain_hops = None
         if cfg.odo_redundant and n_frames >= 4:
             plain_hops = _plain_hop_lengths(pairs, n_kp,
-                                            cfg.min_scale_points)
+                                            cfg.min_scale_points,
+                                            cfg.odo_vel_window,
+                                            cfg.odo_vel_clamp)
             raw_skips, raw_ok = _skip_pair_estimates(
                 feats, frame_ids, intrinsics, cfg, k_skip)
             _triangle_flip_repair(pairs, raw_skips, raw_ok, feats,
                                   frame_ids, intrinsics, cfg)
-        _chain_scales(pairs, n_kp, cfg.min_scale_points)
+        _chain_scales(pairs, n_kp, cfg.min_scale_points,
+                      cfg.odo_vel_window, cfg.odo_vel_clamp)
         if raw_skips and cfg.odo_scale_refine:
             _skip_scale_refine(pairs, raw_skips, raw_ok, cfg, n_kp)
         rs, ts = _chain_poses(pairs)
@@ -954,14 +1113,17 @@ def run_odometry(frames, intrinsics, model: VGGDescriptor,
     plain_hops = None
     if cfg.odo_redundant and len(nodes) >= 4:
         plain_hops = _plain_hop_lengths(bb_pairs, n_kp,
-                                        cfg.min_scale_points)
+                                        cfg.min_scale_points,
+                                        cfg.odo_vel_window,
+                                        cfg.odo_vel_clamp)
         raw_skips, raw_ok = _skip_pair_estimates(
             feats, nodes, intrinsics, cfg, k_skip)
         _triangle_flip_repair(bb_pairs, raw_skips, raw_ok, feats, nodes,
                               intrinsics, cfg)
 
     # scale chaining over the backbone, then absolute backbone poses
-    _chain_scales(bb_pairs, n_kp, cfg.min_scale_points)
+    _chain_scales(bb_pairs, n_kp, cfg.min_scale_points,
+                  cfg.odo_vel_window, cfg.odo_vel_clamp)
     if raw_skips and cfg.odo_scale_refine:
         _skip_scale_refine(bb_pairs, raw_skips, raw_ok, cfg, n_kp)
     rs_bb, ts_bb = _chain_poses(bb_pairs)
@@ -1121,7 +1283,47 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
         stats = {}
     stats.update(n_candidates=len(cand), rej_inliers=0, rej_ratio=0,
                  rej_vote_b=0, rej_vote_a=0, rej_scale=0, rej_path=0,
+                 rej_vote_b_count=0, rej_vote_b_mad=0,
+                 rej_vote_a_count=0, rej_vote_a_mad=0,
+                 rescued_vote_b=0, rescued_vote_a=0, sim3_rescued=0,
+                 weak_vote_b=0, weak_vote_a=0,
                  accepted=0, deduped=0)
+    min_votes = max(cfg.min_scale_points, cfg.loop_min_vote_points)
+
+    def _gated_vote(f: int, kp_idx, pts,
+                    tag: str) -> Tuple[Optional[float], bool]:
+        """Depth-ratio scale vote at frame f -> (scale | None, weak).
+
+        Forward-pair depths first (bit-identical to the round-2
+        committed behaviour whenever it passes); on failure retry ONCE
+        against the merged forward+backward map (_endpoint_depths) —
+        same gates, wider vote pool — and count the rescue. A vote whose
+        MAD fails the strict gate but stays under loop_vote_weak_mad is
+        returned with weak=True (see SlamConfig.loop_vote_weak_mad: the
+        caller demands a strong-revisit path margin for such edges)."""
+        odo = result.pairs[f]
+        depths = _depth_map(odo.kp_prev_idx, odo.points3d[:, 2], n_kp)
+        scale, _, mad = _depth_ratio_stats(depths, kp_idx, pts, min_votes)
+        bad_mad = cfg.loop_vote_max_mad > 0 and mad > cfg.loop_vote_max_mad
+        if (scale is None or bad_mad) and cfg.loop_vote_merge:
+            merged = _endpoint_depths(result.pairs, n_kp, f)
+            scale, _, mad = _depth_ratio_stats(merged, kp_idx, pts,
+                                               min_votes)
+            bad_mad = (cfg.loop_vote_max_mad > 0
+                       and mad > cfg.loop_vote_max_mad)
+            if scale is not None and not bad_mad:
+                stats[f"rescued_{tag}"] += 1
+        if scale is not None and bad_mad and (
+                cfg.loop_vote_weak_mad > 0
+                and mad <= cfg.loop_vote_weak_mad):
+            stats[f"weak_{tag}"] += 1
+            return scale, True
+        if scale is None or bad_mad:
+            stats[f"rej_{tag}_count" if scale is None
+                  else f"rej_{tag}_mad"] += 1
+            stats[f"rej_{tag}"] += 1
+            return None, False
+        return scale, False
     # odometry path length between two frames, in propagated-scale units —
     # the denominator of the self-scaling re-visit test below
     step_len = np.asarray([float(np.linalg.norm(p.translation))
@@ -1138,71 +1340,107 @@ def detect_loop_closures(feats, keyframes: np.ndarray, result: SlamResult,
         if est.n_inliers < cfg.loop_min_inlier_ratio * max(est.n_matches, 1):
             stats["rej_ratio"] += 1
             continue
+        # edge = (direct_hop_len, R, t, s_z, weak) in frame-fb units,
+        # from whichever measurement path survives its gates
+        edge = None
         # scale: est.points3d live in frame-fb coords with unit-baseline
         # scale; compare with the odometry landmark depths of pair
         # (fb, fb+1), which are scale-propagated and also frame-fb.
-        odo = result.pairs[fb]
-        depths = _depth_map(odo.kp_prev_idx, odo.points3d[:, 2], n_kp)
-        scale, n_votes, mad = _depth_ratio_stats(
-            depths, est.kp_prev_idx, est.points3d,
-            max(cfg.min_scale_points, cfg.loop_min_vote_points))
-        if scale is None or (cfg.loop_vote_max_mad > 0
-                             and mad > cfg.loop_vote_max_mad):
-            stats["rej_vote_b"] += 1
+        scale, weak_b = _gated_vote(fb, est.kp_prev_idx, est.points3d,
+                                    "vote_b")
+        if scale is not None:
+            # second, independent vote at the OTHER endpoint: the same
+            # loop landmarks expressed in frame fa vs the odometry depths
+            # of pair (fa, fa+1). Under monocular drift the two votes
+            # measure the SAME baseline in the two endpoints' LOCAL map
+            # units, so their ratio is the accumulated relative scale
+            # drift between the endpoints — the Sim(3) edge's scale
+            # measurement (ORB-SLAM's Sim(3) closure transform), NOT
+            # noise to be gated away. Round 2's tight agreement gate
+            # rejected exactly the drift-carrying TRUE closures the graph
+            # needs most; only a loose sanity bound remains for the
+            # Sim(3) path, while SE(3) graphs (which cannot absorb a
+            # scale mismatch) keep the tight gate + geometric-mean
+            # compromise.
+            vote_ok, s_z, weak = True, 1.0, weak_b
+            if fa < len(result.pairs):
+                pts_fa = est.points3d @ est.rotation.T + est.translation
+                scale_a, weak_a = _gated_vote(fa, est.kp_next_idx, pts_fa,
+                                              "vote_a")
+                if scale_a is None:
+                    vote_ok = False
+                else:
+                    weak = weak_b or weak_a
+                    ratio = max(scale_a, scale) / min(scale_a, scale)
+                    if cfg.use_sim3:
+                        if ratio > cfg.loop_scale_sanity:
+                            stats["rej_scale"] += 1
+                            vote_ok = False
+                        else:  # zero-residual convention
+                            s_z = float(scale / scale_a)
+                    elif (cfg.loop_scale_consistency > 0
+                            and ratio > cfg.loop_scale_consistency):
+                        stats["rej_scale"] += 1
+                        vote_ok = False
+                    else:
+                        scale = float(np.sqrt(scale_a * scale))
+            if vote_ok:
+                # est maps frame-fb -> frame-fa; the edge measurement is
+                # i_T_j = inv([R | s*t]) with i=fb, j=fa.
+                r_inv = est.rotation.T
+                t_inv = -r_inv @ (est.translation * scale)
+                edge = (scale * float(np.linalg.norm(est.translation)),
+                        r_inv, t_inv, s_z, weak)
+        if edge is None and cfg.use_sim3 and cfg.loop_sim3_fallback:
+            # vote path failed -> Sim(3) map alignment (see
+            # _sim3_from_landmarks): odometry landmarks at both
+            # endpoints, loop pair supplies correspondences only. Its
+            # (s, R, t) IS the i_T_j closure (X_b = s R X_a + t maps
+            # frame-fa coords into frame-fb), gated on alignment quality
+            # and agreement with the essential-matrix rotation.
+            z_b = _endpoint_depths(result.pairs, n_kp, fb)
+            z_a = _endpoint_depths(result.pairs, n_kp, fa)
+            horn = _sim3_from_landmarks(
+                feats[fb][0], feats[fa][0], z_b, z_a,
+                est.kp_prev_idx, est.kp_next_idx, intrinsics, min_votes)
+            if horn is not None:
+                s_h, r_h, t_h, _, rel = horn
+                # r_h: fa->fb, est.rotation: fb->fa — product ~ identity
+                rot_err = float(np.arccos(np.clip(
+                    (np.trace(r_h @ est.rotation) - 1.0) / 2.0, -1, 1)))
+                if (rel <= cfg.loop_sim3_max_res and s_h > 0
+                        and max(s_h, 1.0 / s_h) <= cfg.loop_scale_sanity
+                        and rot_err <= cfg.loop_sim3_max_rot):
+                    # translation here comes from noisy depth maps:
+                    # admit only as a strong revisit (weak=True)
+                    edge = (float(np.linalg.norm(t_h)), r_h, t_h,
+                            float(s_h), True)
+                    stats["sim3_rescued"] += 1
+        if edge is None:
             continue
-        # second, independent vote at the OTHER endpoint: the same loop
-        # landmarks expressed in frame fa vs the odometry depths of pair
-        # (fa, fa+1). Under monocular drift the two votes measure the SAME
-        # baseline in the two endpoints' LOCAL map units, so their ratio
-        # is the accumulated relative scale drift between the endpoints —
-        # the Sim(3) edge's scale measurement (ORB-SLAM's Sim(3) closure
-        # transform), NOT noise to be gated away. Round 2's tight
-        # agreement gate rejected exactly the drift-carrying TRUE closures
-        # the graph needs most; only a loose sanity bound remains for the
-        # Sim(3) path, while SE(3) graphs (which cannot absorb a scale
-        # mismatch) keep the tight gate + geometric-mean compromise.
-        s_z = 1.0
-        if fa < len(result.pairs):
-            pts_fa = est.points3d @ est.rotation.T + est.translation
-            odo_a = result.pairs[fa]
-            depths_a = _depth_map(odo_a.kp_prev_idx, odo_a.points3d[:, 2],
-                                  n_kp)
-            scale_a, _, mad_a = _depth_ratio_stats(
-                depths_a, est.kp_next_idx, pts_fa,
-                max(cfg.min_scale_points, cfg.loop_min_vote_points))
-            if scale_a is None or (cfg.loop_vote_max_mad > 0
-                                   and mad_a > cfg.loop_vote_max_mad):
-                stats["rej_vote_a"] += 1
-                continue
-            ratio = max(scale_a, scale) / min(scale_a, scale)
-            if cfg.use_sim3:
-                if ratio > cfg.loop_scale_sanity:
-                    stats["rej_scale"] += 1
-                    continue
-                s_z = float(scale / scale_a)   # zero-residual convention
-            else:
-                if (cfg.loop_scale_consistency > 0
-                        and ratio > cfg.loop_scale_consistency):
-                    stats["rej_scale"] += 1
-                    continue
-                scale = float(np.sqrt(scale_a * scale))
+        direct, r_e, t_e, s_e, weak_edge = edge
         # re-visit test (self-scaling, replaces any fixed frame-gap
         # heuristic): a loop closure is a SHORT direct hop between frames
         # whose odometry path is LONG — co-visible near-neighbours have
         # direct ~ path and are odometry, not loops. Both lengths are in
-        # drift-consistent local units (direct uses the fb vote; the path
-        # starts at fb), so the test survives arbitrary global drift.
-        if cfg.loop_path_ratio > 0:
-            direct = scale * float(np.linalg.norm(est.translation))
+        # drift-consistent local units (direct is in frame-fb units; the
+        # path starts at fb), so the test survives arbitrary global
+        # drift.
+        # weak edges (MAD-failing votes / map-alignment translations)
+        # must show overwhelming geometric consensus AND clear the much
+        # tighter strong-revisit margin
+        if weak_edge and est.n_inliers < (cfg.loop_weak_min_inlier_ratio
+                                          * max(est.n_matches, 1)):
+            stats["rej_ratio"] += 1
+            continue
+        limit = (cfg.loop_weak_path_ratio if weak_edge
+                 else cfg.loop_path_ratio)
+        if limit > 0:
             path = float(cum_len[min(fa, len(step_len))] - cum_len[fb])
-            if direct >= cfg.loop_path_ratio * path:
+            if direct >= limit * path:
                 stats["rej_path"] += 1
                 continue
-        # est maps frame-fb -> frame-fa; the edge measurement is
-        # i_T_j = inv([R | s*t]) with i=fb, j=fa.
-        r_inv = est.rotation.T
-        t_inv = -r_inv @ (est.translation * scale)
-        accepted.append((est.n_inliers, fb, fa, r_inv, t_inv, s_z))
+        accepted.append((est.n_inliers, fb, fa, r_e, t_e, s_e))
 
     # temporal-cluster dedup: consecutive keyframes revisiting the same
     # place produce a blanket of near-duplicate edges (229 on the 192-frame

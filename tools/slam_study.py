@@ -47,7 +47,19 @@ def main():
     ap.add_argument("--header",
                     default="/root/reference/workspace/opencv/"
                             "vgg_generated_64.i")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu). The session "
+                         "site hook pre-registers the axon TPU backend "
+                         "and overrides JAX_PLATFORMS, so a plain env "
+                         "var silently runs this tool ON the tunnel — "
+                         "jax.config.update is the only reliable "
+                         "override (same pattern as cli.py).")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from opencv_dlco_tpu.data.synthetic import render_blob_sequence
     from opencv_dlco_tpu.models.vgg import VGGDescriptor

@@ -77,11 +77,16 @@ def generate_synthetic_dataset(ws: Workspace, name: str, seed: int,
     """
     out = ws.path("dataset", f"{name}.h5")
     if os.path.exists(out):
-        with ArtifactStore(out, "r") as st:
-            if (st.exists("Patches")
-                    and st.shape("Patches") == (2 * n_pairs, 64, 64)
-                    and st.get_meta("complete", False)):
-                return out
+        try:
+            with ArtifactStore(out, "r") as st:
+                if (st.exists("Patches")
+                        and st.shape("Patches") == (2 * n_pairs, 64, 64)
+                        and st.get_meta("complete", False)):
+                    return out
+        except OSError:
+            # a run killed mid-write leaves a truncated HDF5 ("bad
+            # object header"); treat exactly like an incomplete marker
+            pass
         os.remove(out)
 
     import jax
@@ -168,9 +173,13 @@ def run_reference_scale(root: str,
     datasets = dict(datasets or DEFAULT_DATASETS)
     names = list(datasets)
     pj_datasets = list(pj_datasets or names[:1])
-    # pair_block 1024: the remote-TPU tunnel pays a fixed per-transfer
-    # cost; 21 MB distance tiles amortise it ~1.5x better than 5 MB ones
-    ws = Workspace(root, progress=progress, pair_block=1024,
+    # pair_block 8192: the remote-TPU tunnel pays a ~2 s fixed cost per
+    # round-trip (measured live at full scale: 1024-pair blocks moved
+    # 21 MB tiles at an effective 9 MB/s with the host 74% idle —
+    # latency-bound, not bandwidth- or gzip-bound). 8x wider blocks
+    # amortise the same latency over 168 MB tiles; HBM cost is one
+    # (8192, 5120) f32 tile + transforms, far under budget.
+    ws = Workspace(root, progress=progress, pair_block=8192,
                    **({"pool_cfg": pool_cfg} if pool_cfg else {}))
 
     t_start = time.time()

@@ -56,6 +56,19 @@ from ..utils.memory import check_device_budget, nbytes
 from ..utils.progress import TermProgress
 
 
+def _open_if_sound(path: str):
+    """ArtifactStore(path, "r") or None for a truncated/corrupt file.
+
+    Idempotence probes must treat an HDF5 a killed run left mid-write
+    ("bad object header version number") exactly like an incomplete
+    marker — regenerate, don't crash. Found live when restarting the
+    reference-scale e2e over a half-written dataset."""
+    try:
+        return ArtifactStore(path, "r")
+    except OSError:
+        return None
+
+
 @dataclass
 class Workspace:
     """A pipeline working directory with reference-compatible layout."""
@@ -97,9 +110,11 @@ class Workspace:
         """Generate the candidate filter bank (reference: 02-genpoolregs.sh)."""
         out = self.path("filters.h5")
         if os.path.exists(out):
-            with ArtifactStore(out, "r") as st:
-                if st.exists("PRFilters"):
-                    return out
+            st = _open_if_sound(out)
+            if st is not None:
+                with st:
+                    if st.exists("PRFilters"):
+                        return out
         rings, params, filters = build_filter_bank(self.pool_cfg)
         p = self.pool_cfg.patch_size
         with ArtifactStore(out, "w") as st:
@@ -162,11 +177,13 @@ class Workspace:
 
         out = self.path("distances", f"{ds}-dist.h5")
         if os.path.exists(out):
-            with ArtifactStore(out, "r") as st:
-                if (st.exists("Distance")
-                        and st.shape("Distance") == (n_pairs, n_rings)
-                        and st.get_meta("complete", False)):
-                    return out
+            st = _open_if_sound(out)
+            if st is not None:
+                with st:
+                    if (st.exists("Distance")
+                            and st.shape("Distance") == (n_pairs, n_rings)
+                            and st.get_meta("complete", False)):
+                        return out
 
         bar = self._bar()
         with ArtifactStore(out, "w") as st:
@@ -320,14 +337,16 @@ class Workspace:
         # (NullStore below), and reading the HDF5 the primary holds open
         # for append is not safe without SWMR
         if is_primary() and os.path.exists(out):
-            with ArtifactStore(out, "r") as st:
-                if st.get_meta("done_iters") == marker:
-                    return out
-                # mid-run snapshot? resume from it instead of restarting
-                # (improves on the reference's stage-level-only resume,
-                # 04-prlearn.sh:19-22)
-                resume = load_solver_state(st, PRState)
-                resume_meta = st.get_meta("solver_state_meta") or {}
+            st = _open_if_sound(out)
+            if st is not None:
+                with st:
+                    if st.get_meta("done_iters") == marker:
+                        return out
+                    # mid-run snapshot? resume from it instead of
+                    # restarting (improves on the reference's
+                    # stage-level-only resume, 04-prlearn.sh:19-22)
+                    resume = load_solver_state(st, PRState)
+                    resume_meta = st.get_meta("solver_state_meta") or {}
             if resume is None:
                 os.remove(out)
 
@@ -514,11 +533,13 @@ class Workspace:
             patches = st.read("Patches")
         n_pairs = indices.shape[0]
         if os.path.exists(out):
-            with ArtifactStore(out, "r") as st:
-                if (st.exists("Distance")
-                        and st.shape("Distance") == (n_pairs, n_dim)
-                        and st.get_meta("complete", False)):
-                    return out
+            st = _open_if_sound(out)
+            if st is not None:
+                with st:
+                    if (st.exists("Distance")
+                            and st.shape("Distance") == (n_pairs, n_dim)
+                            and st.get_meta("complete", False)):
+                        return out
 
         sel_j = jnp.asarray(sel)
         labels = pair_labels(indices)
@@ -568,14 +589,16 @@ class Workspace:
         resume = None
         resume_meta = {}
         if is_primary() and os.path.exists(out):  # see prlearn note
-            with ArtifactStore(out, "r") as st:
-                if st.get_meta("done_iters") == marker:
-                    return out
-                # mid-run snapshot? resume instead of restarting (the
-                # reference restarts a crashed pj-learn from zero,
-                # 08-pjlearn.sh:18-21)
-                resume = load_solver_state(st, PJState)
-                resume_meta = st.get_meta("solver_state_meta") or {}
+            st = _open_if_sound(out)
+            if st is not None:
+                with st:
+                    if st.get_meta("done_iters") == marker:
+                        return out
+                    # mid-run snapshot? resume instead of restarting (the
+                    # reference restarts a crashed pj-learn from zero,
+                    # 08-pjlearn.sh:18-21)
+                    resume = load_solver_state(st, PJState)
+                    resume_meta = st.get_meta("solver_state_meta") or {}
             if resume is None:
                 os.remove(out)
 

@@ -22,6 +22,37 @@ from ..data.store import ArtifactStore
 _PREFIX = "solver_state"
 
 
+def _open_lock_retry(path: str, mode: str,
+                     timeout_s: float = 120.0) -> ArtifactStore:
+    """ArtifactStore open that retries ONLY on HDF5 lock contention.
+
+    Sharded-checkpoint processes interrupt and resume independently: a
+    fast process's load() read-opens EVERY writer's file while a slow
+    one may be mid-save of the same wave, and conversely a save's
+    append-open can hit a peer's transient read lock. The h5 lock makes
+    the mid-write state unreadable — which is the correctness guarantee
+    — so a locked file means 'retry shortly', not 'corrupt'. Any other
+    OSError (truncated file, bad header) surfaces immediately
+    (ADVICE r4: a genuinely bad shard must not stall two minutes)."""
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            return ArtifactStore(path, mode)
+        except BlockingIOError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+        except OSError as err:
+            msg = str(err).lower()
+            locked = ("unable to lock" in msg
+                      or "file is already open" in msg
+                      or "resource temporarily unavailable" in msg
+                      or getattr(err, "errno", None) == errno.EAGAIN)
+            if not locked or time.time() > deadline:
+                raise
+            time.sleep(0.2)
+
+
 class RunInterrupted(RuntimeError):
     """Raised by the _stop_after_logs test hooks right after a snapshot —
     simulates a mid-run kill at a known point for resume tests."""
@@ -115,7 +146,11 @@ class ShardedSweepCheckpoint:
         # misdetected as a shardable leaf
         sharded = [n for n, v in leaves.items()
                    if n != "prng_key" and self._shardable(np.asarray(v))]
-        with ArtifactStore(self.path(self.writer_id), "a") as st:
+        # a PEER's load() read-opens EVERY writer's file — including this
+        # one — so the append-open can hit its transient read lock; same
+        # retry discipline as the load path (found by the 2-process
+        # suite under host contention: EAGAIN on save crashed the worker)
+        with _open_lock_retry(self.path(self.writer_id), "a") as st:
             for name, leaf in leaves.items():
                 arr = np.asarray(leaf)
                 if name in sharded:
@@ -147,41 +182,12 @@ class ShardedSweepCheckpoint:
             return None
 
     def _load(self, state_cls, signature, jnp, shard_rows):
-
-        def open_shard(path):
-            """A PEER process may still hold its file's write lock (the
-            processes interrupt and resume independently, so a fast
-            process can reach load() while a slow one is mid-save of the
-            same wave). The h5 lock makes the mid-write state unreadable
-            — which is the correctness guarantee — so a locked file
-            means 'retry shortly', not 'corrupt'."""
-            deadline = time.time() + 120.0
-            while True:
-                try:
-                    return ArtifactStore(path, "r")
-                except BlockingIOError:
-                    if time.time() > deadline:
-                        raise
-                    time.sleep(0.2)
-                except OSError as err:
-                    # h5py raises plain OSError for corrupt/truncated
-                    # files too — only lock contention is retryable;
-                    # everything else should surface immediately.
-                    msg = str(err).lower()
-                    locked = ("unable to lock" in msg
-                              or "file is already open" in msg
-                              or "resource temporarily unavailable" in msg
-                              or getattr(err, "errno", None) == errno.EAGAIN)
-                    if not locked or time.time() > deadline:
-                        raise
-                    time.sleep(0.2)
-
         per_proc = []
         for p in range(self.n_writers):
             path = self.path(p)
             if not os.path.exists(path):
                 return None
-            with open_shard(path) as st:
+            with _open_lock_retry(path, "r") as st:
                 if st.get_meta("signature") != signature:
                     return None
                 waves = {}
@@ -207,7 +213,7 @@ class ShardedSweepCheckpoint:
         for p in range(self.n_writers):
             lo, hi = shard_rows(self.n_sweep, 1, p, self.n_writers)
             slot = per_proc[p][0][wave]
-            with open_shard(self.path(p)) as st:
+            with _open_lock_retry(self.path(p), "r") as st:
                 for name in state_fields + array_names + ["prng_key"]:
                     if name in sharded:
                         arr = st.read(f"slot{slot}/{name}")
